@@ -1,0 +1,190 @@
+package graft.codec
+
+/** Bit-exact pure-Scala audio codecs (SURVEY §7.2 step 2).
+  *
+  * Three codecs cover the fixture's codec column: identity 16-bit PCM,
+  * G.711 µ-law (public ITU-T spec), and a 4-bit IMA-ADPCM (public IMA spec,
+  * continuous state, 4-byte LE sample-count header — our own framing).
+  * All integer math ⇒ identical output on every JVM (the SNR≥30 dB and
+  * determinism gates, SURVEY §7.4 hard part (a)).
+  *
+  * Reference analog: codec-aware sniff-decode with per-record failure
+  * (`Backend/app.py:50-62` returns None on bad bytes → error-as-value);
+  * here decode returns `Either[String, Array[Float]]` and never throws.
+  */
+object Codecs {
+
+  val PcmS16le = "pcm_s16le"
+  val Ulaw8    = "ulaw8"
+  val Adpcm4   = "adpcm4"
+  val known: Set[String] = Set(PcmS16le, Ulaw8, Adpcm4)
+
+  /** Decode clip bytes to normalized mono float PCM in [-1, 1).
+    * Total function over arbitrary bytes: malformed input → Left(reason). */
+  def decode(codec: String, bytes: Array[Byte]): Either[String, Array[Float]] = {
+    if (bytes == null || bytes.isEmpty) Left("empty_bytes")
+    else codec match {
+      case PcmS16le => decodePcmS16le(bytes)
+      case Ulaw8    => Right(decodeUlaw(bytes))
+      case Adpcm4   => decodeAdpcm(bytes)
+      case other    => Left(s"unknown_codec:$other")
+    }
+  }
+
+  /** Encode int16 samples with the given codec (used by the fixture
+    * generator and round-trip tests; seeded, deterministic). */
+  def encode(codec: String, samples: Array[Short]): Array[Byte] = codec match {
+    case PcmS16le => encodePcmS16le(samples)
+    case Ulaw8    => encodeUlaw(samples)
+    case Adpcm4   => encodeAdpcm(samples)
+    case other    => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  @inline private def s16ToFloat(s: Short): Float = s / 32768.0f
+
+  // ---- pcm_s16le -----------------------------------------------------------
+
+  def decodePcmS16le(bytes: Array[Byte]): Either[String, Array[Float]] = {
+    if ((bytes.length & 1) != 0) Left("pcm16_odd_length")
+    else {
+      val n = bytes.length >> 1
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xFF
+        val hi = bytes(2 * i + 1).toInt // sign-extends
+        out(i) = s16ToFloat(((hi << 8) | lo).toShort)
+        i += 1
+      }
+      Right(out)
+    }
+  }
+
+  def encodePcmS16le(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      out(2 * i) = (samples(i) & 0xFF).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  // ---- G.711 µ-law ---------------------------------------------------------
+
+  private final val UlawBias = 0x84
+  private final val UlawClip = 32635
+
+  def ulawEncodeSample(pcm: Short): Byte = {
+    var s = pcm.toInt
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > UlawClip) s = UlawClip
+    s += UlawBias
+    var exponent = 7
+    var mask = 0x4000
+    while (exponent > 0 && (s & mask) == 0) { exponent -= 1; mask >>= 1 }
+    val mantissa = (s >> (exponent + 3)) & 0x0F
+    (~(sign | (exponent << 4) | mantissa)).toByte
+  }
+
+  def ulawDecodeSample(b: Byte): Short = {
+    val u = ~b & 0xFF
+    val sign = u & 0x80
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0F
+    var s = (((mantissa << 3) + UlawBias) << exponent) - UlawBias
+    if (sign != 0) s = -s
+    s.toShort
+  }
+
+  def encodeUlaw(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length)
+    var i = 0
+    while (i < samples.length) { out(i) = ulawEncodeSample(samples(i)); i += 1 }
+    out
+  }
+
+  def decodeUlaw(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = s16ToFloat(ulawDecodeSample(bytes(i))); i += 1 }
+    out
+  }
+
+  // ---- 4-bit IMA ADPCM (continuous state, LE sample-count header) ----------
+
+  private val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val IndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  def encodeAdpcm(samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
+    val out = new Array[Byte](4 + (n + 1) / 2)
+    out(0) = (n & 0xFF).toByte
+    out(1) = ((n >> 8) & 0xFF).toByte
+    out(2) = ((n >> 16) & 0xFF).toByte
+    out(3) = ((n >> 24) & 0xFF).toByte
+    var predictor = 0
+    var index = 0
+    var i = 0
+    while (i < n) {
+      var diff = samples(i) - predictor
+      var nibble = if (diff < 0) { diff = -diff; 8 } else 0
+      var step = StepTable(index)
+      var vpdiff = step >> 3
+      if (diff >= step) { nibble |= 4; diff -= step; vpdiff += step }
+      step >>= 1
+      if (diff >= step) { nibble |= 2; diff -= step; vpdiff += step }
+      step >>= 1
+      if (diff >= step) { nibble |= 1; vpdiff += step }
+      if ((nibble & 8) != 0) predictor -= vpdiff else predictor += vpdiff
+      if (predictor > 32767) predictor = 32767
+      else if (predictor < -32768) predictor = -32768
+      index += IndexTable(nibble)
+      if (index < 0) index = 0 else if (index > 88) index = 88
+      val bi = 4 + (i >> 1)
+      if ((i & 1) == 0) out(bi) = (nibble & 0x0F).toByte
+      else out(bi) = (out(bi) | ((nibble & 0x0F) << 4)).toByte
+      i += 1
+    }
+    out
+  }
+
+  def decodeAdpcm(bytes: Array[Byte]): Either[String, Array[Float]] = {
+    if (bytes.length < 4) return Left("adpcm_truncated_header")
+    val n = (bytes(0) & 0xFF) | ((bytes(1) & 0xFF) << 8) |
+      ((bytes(2) & 0xFF) << 16) | ((bytes(3) & 0xFF) << 24)
+    if (n < 0) return Left("adpcm_bad_count")
+    if (bytes.length - 4 != (n + 1) / 2) return Left("adpcm_length_mismatch")
+    val out = new Array[Float](n)
+    var predictor = 0
+    var index = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(4 + (i >> 1)) & 0xFF
+      val nibble = if ((i & 1) == 0) b & 0x0F else (b >> 4) & 0x0F
+      var step = StepTable(index)
+      var vpdiff = step >> 3
+      if ((nibble & 4) != 0) vpdiff += step
+      if ((nibble & 2) != 0) vpdiff += step >> 1
+      if ((nibble & 1) != 0) vpdiff += step >> 2
+      if ((nibble & 8) != 0) predictor -= vpdiff else predictor += vpdiff
+      if (predictor > 32767) predictor = 32767
+      else if (predictor < -32768) predictor = -32768
+      index += IndexTable(nibble)
+      if (index < 0) index = 0 else if (index > 88) index = 88
+      out(i) = s16ToFloat(predictor.toShort)
+      i += 1
+    }
+    Right(out)
+  }
+}

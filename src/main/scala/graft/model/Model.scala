@@ -1,0 +1,153 @@
+package graft.model
+
+/** Core data model for the audio-clip quality-filter pipeline.
+  *
+  * Input row shape is fixed by the task's `input_hint`: an Iceberg-style table
+  * of audio clip + transcript pairs. Mirrors the reference's "record = one
+  * media item" abstraction (reference `Backend/app.py:50-62`: raw bytes +
+  * implied codec, decoded per record), re-expressed as a typed Spark row.
+  */
+final case class ClipRow(
+    clip_id: String,
+    bytes: Array[Byte],
+    sr_hz: Int,
+    dur_ms: Int,
+    codec: String,
+    transcript: String
+)
+
+/** Per-clip audio features extracted from decoded PCM inside the decode
+  * mapPartitions stage. The PCM itself is dropped immediately after feature
+  * extraction — at 10^12-clip scale the waveform must never travel through a
+  * shuffle. Mirrors the reference's per-image diagnostic statistics
+  * (`experimental_evaluator.py:106-119` per-side stats; `image_processing.py
+  * :464-469` local-contrast diagnostic) as a compact struct.
+  *
+  * All fields are cheap scalars; `n_samples` is the decoded length.
+  */
+final case class AudioFeatures(
+    n_samples: Int,
+    rms_db: Double,          // overall RMS level in dBFS
+    peak: Double,            // max |sample|
+    silence_frac: Double,    // fraction of frames below energy floor
+    clip_frac: Double,       // fraction of samples at/near full scale
+    dyn_range_db: Double,    // p95 - p5 of frame RMS in dB
+    speech_ms: Double,       // speech span after open/close mask repair
+    n_segments: Int          // speech segments (utterances) detected
+)
+
+/** One decision row per input clip — the engine's primary output.
+  * Mirrors the reference's pipeline result record (`image_processing.py:199-
+  * 205`): final artifact + metrics + lineage, shrunk to scalars per SURVEY
+  * §4.2(2). `drop_reasons` empty ⇔ `keep`.
+  */
+final case class DecisionRow(
+    clip_id: String,
+    keep: Boolean,
+    drop_reasons: Seq[String],
+    scrubbed_transcript: String,
+    lang: String,
+    lang_conf: Double,
+    ppl_char: Double,
+    ppl_word: Double,
+    sr_hz: Int,
+    dur_ms: Int,
+    codec: String,
+    // audio features flattened for Catalyst visibility (rules are `when` exprs)
+    n_samples: Int,
+    rms_db: Double,
+    peak: Double,
+    silence_frac: Double,
+    clip_frac: Double,
+    dyn_range_db: Double,
+    speech_ms: Double,
+    n_segments: Int,
+    chars_per_sec: Double,
+    max_repeat_run: Int,
+    symbol_frac: Double,
+    scrub_hits: Seq[ScrubHit]
+)
+
+final case class ScrubHit(rule: String, count: Int)
+
+/** Stable drop-reason codes (reference analog: structured error taxonomy,
+  * `Backend/app.py:429-461`, `ocr_engine.py:373-380` — errors are data). */
+object Reason {
+  val DecodeError   = "decode_error"
+  val EmptyText     = "empty_transcript"
+  val WrongLanguage = "wrong_language"
+  val LowLangConf   = "low_lang_conf"
+  val HighPplChar   = "high_ppl_char"
+  val HighPplWord   = "high_ppl_word"
+  val LengthRatio   = "length_ratio"      // H1
+  val Repetition    = "repetition"        // H2
+  val SymbolDensity = "symbol_density"    // H3
+  val DurMismatch   = "dur_text_mismatch" // H4
+  val Silence       = "silence"           // H5
+  val Clipping      = "clipping"          // H5
+  val FlatRange     = "flat_dyn_range"    // H6
+  val all: Seq[String] = Seq(DecodeError, EmptyText, WrongLanguage, LowLangConf,
+    HighPplChar, HighPplWord, LengthRatio, Repetition, SymbolDensity,
+    DurMismatch, Silence, Clipping, FlatRange)
+}
+
+/** Typed filter configuration (reference analog: 40-key settings map with
+  * defaults + 8 named presets, `Backend/utils/config.py:11-220`, re-expressed
+  * as a case class per SURVEY §1.4 — knobs stay, but typed; broadcast via
+  * closure). Defaults are the "premium"-equivalent semantics.
+  */
+final case class FilterConfig(
+    // language
+    acceptedLangs: Set[String] = Set("aa", "bb", "cc"),
+    minLangConf: Double = 0.60,
+    // perplexity cutoffs (fixed defaults for determinism; adaptive Sauvola-form
+    // rule available via `adaptivePpl`, SURVEY T4)
+    maxPplChar: Double = 25.0,
+    maxPplWord: Double = 100000.0,
+    adaptivePpl: Boolean = false,
+    sauvolaK: Double = 0.5, // thresh = mean * (1 + k*(std/R - 1))
+    sauvolaR: Double = 128.0,
+    // H1 length ratio: transcript chars per second of audio
+    minCharsPerSec: Double = 2.0,
+    maxCharsPerSec: Double = 60.0,
+    // H2 repetition: max consecutive repeats of a word
+    maxRepeatRun: Int = 6,
+    // H3 symbol density
+    maxSymbolFrac: Double = 0.30,
+    // H4 metadata sanity: |decoded_ms − dur_ms| / dur_ms ceiling
+    maxDurMismatch: Double = 0.2,
+    // H5 energy bounds
+    maxSilenceFrac: Double = 0.90,
+    maxClipFrac: Double = 0.02,
+    // H6 dynamic range floor (dB)
+    minDynRangeDb: Double = 3.0,
+    // audio framing
+    frameMs: Int = 20,
+    silenceFloorDb: Double = -35.0,
+    // morphological repair of the speech mask (frames): drop bursts shorter
+    // than minBurst (opening, M2), bridge gaps shorter than maxGap (closing, M3)
+    minBurstFrames: Int = 3,
+    maxGapFrames: Int = 5,
+    // scrub
+    scrubEnabled: Boolean = true,
+    // salted repartition: number of salt buckets
+    saltBuckets: Int = 256
+)
+
+/** Named presets (reference `config.py:61-220`: preset = defaults + overrides). */
+object Presets {
+  val default: FilterConfig = FilterConfig()
+  val strict: FilterConfig = default.copy(
+    minLangConf = 0.80, maxPplChar = 15.0, maxSymbolFrac = 0.15,
+    maxSilenceFrac = 0.70, minDynRangeDb = 6.0)
+  val lenient: FilterConfig = default.copy(
+    minLangConf = 0.40, maxPplChar = 60.0, maxSymbolFrac = 0.50,
+    maxSilenceFrac = 0.98, minDynRangeDb = 0.5, maxRepeatRun = 8)
+  val adaptive: FilterConfig = default.copy(adaptivePpl = true)
+  val byName: Map[String, FilterConfig] = Map(
+    "default" -> default, "premium" -> default, "strict" -> strict,
+    "lenient" -> lenient, "adaptive" -> adaptive)
+  /** Alias-tolerant lookup (reference `app.py:128-150`). */
+  def apply(name: String): FilterConfig =
+    byName.getOrElse(name.trim.toLowerCase, default)
+}

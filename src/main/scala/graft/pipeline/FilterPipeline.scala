@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.codec.Codecs
+import graft.model._
+import graft.rules.Heuristics
+import graft.text.{Scrubber, TextModel}
+
+/** Per-clip feature row emitted by the single heavyweight pass. Everything
+  * downstream of this is declarative Catalyst (`when` rules, salted
+  * repartition, partitioned write). */
+final case class FeatureRow(
+    clip_id: String,
+    sr_hz: Int,
+    dur_ms: Int,
+    codec: String,
+    transcript: String,
+    decode_ok: Boolean,
+    decode_err: String,
+    n_samples: Int,
+    rms_db: Double,
+    peak: Double,
+    silence_frac: Double,
+    clip_frac: Double,
+    dyn_range_db: Double,
+    speech_ms: Double,
+    n_segments: Int,
+    dur_mismatch: Double,
+    lang: String,
+    lang_conf: Double,
+    ppl_char: Double,
+    ppl_word: Double,
+    chars_per_sec: Double,
+    max_repeat_run: Int,
+    symbol_frac: Double,
+    scrubbed_transcript: String,
+    scrub_hits: Seq[ScrubHit]
+)
+
+/** The quality-filter pipeline (SURVEY §3.1 Spark lifecycle):
+  *
+  *   scan → mapPartitions(decode + features + LID + PPL + scrub)   [narrow]
+  *        → `when`-rule decision columns                            [Catalyst]
+  *        → salted repartition → partitioned snapshot write         [1 shuffle]
+  *
+  * One heavyweight narrow stage; the waveform never leaves the decode pass
+  * (only scalar features travel). Model artifacts are broadcast once per
+  * executor (reference's lazy singletons `ocr_engine.py:26-70` →
+  * SURVEY §4.2(1)); decode failures are data, not exceptions
+  * (`Backend/app.py:429-461` → drop_reasons).
+  */
+object FilterPipeline {
+
+  /** Accumulators for job-level counters (reference G12 success/failure
+    * counts, `Backend/app.py:426-491`). */
+  final class Counters(spark: SparkSession) extends Serializable {
+    val rows: LongAccumulator = spark.sparkContext.longAccumulator("graft.rows")
+    val decodeErrors: LongAccumulator = spark.sparkContext.longAccumulator("graft.decodeErrors")
+    val scrubbed: LongAccumulator = spark.sparkContext.longAccumulator("graft.scrubbedRows")
+  }
+
+  /** Heavyweight narrow pass: decode bytes → PCM → audio features, score
+    * transcript (LID, char/word PPL), heuristics, scrub. PCM is dropped
+    * before return. */
+  def features(
+      clips: Dataset[ClipRow],
+      cfg: FilterConfig,
+      model: Broadcast[TextModel],
+      counters: Option[Counters] = None
+  ): Dataset[FeatureRow] = {
+    import clips.sparkSession.implicits._
+    clips.mapPartitions { it =>
+      val m = model.value
+      it.map { clip =>
+        counters.foreach(_.rows.add(1))
+        val decoded = Codecs.decode(clip.codec, clip.bytes)
+        val (ok, err, af, mismatch) = decoded match {
+          case Right(pcm) =>
+            val f = Heuristics.audioFeatures(pcm, clip.sr_hz, cfg)
+            (true, "", f, Heuristics.durMismatch(f.n_samples, clip.sr_hz, clip.dur_ms))
+          case Left(reason) =>
+            counters.foreach(_.decodeErrors.add(1))
+            (false, reason, AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0), 0.0)
+        }
+
+        val t = clip.transcript
+        val (lang, conf) =
+          if (t.isEmpty) ("und", 0.0) else m.lid(t)
+
+        // scrub BEFORE perplexity: planted PII tokens are noise the scrubber
+        // removes, so keepable rows aren't dropped for the PII's surprisal
+        val (scrubbed, hits) =
+          if (cfg.scrubEnabled && t.nonEmpty) Scrubber.scrub(t) else (t, Nil)
+        if (hits.nonEmpty) counters.foreach(_.scrubbed.add(1))
+
+        // PPL under the LID-predicted language's LM when known (incl. the
+        // non-accepted class), else best accepted — garbled text scores high
+        // under every LM, wrong-language text scores low under its own.
+        val pplLang = if (m.langIndex(lang) >= 0) lang else m.langs.head
+        val pplC = if (t.isEmpty) 0.0 else m.pplChar(scrubbed, pplLang)
+        val pplW = if (t.isEmpty) 0.0 else m.pplWord(scrubbed, pplLang)
+
+        FeatureRow(
+          clip_id = clip.clip_id,
+          sr_hz = clip.sr_hz, dur_ms = clip.dur_ms, codec = clip.codec,
+          transcript = t,
+          decode_ok = ok, decode_err = err,
+          n_samples = af.n_samples, rms_db = af.rms_db, peak = af.peak,
+          silence_frac = af.silence_frac, clip_frac = af.clip_frac,
+          dyn_range_db = af.dyn_range_db, speech_ms = af.speech_ms,
+          n_segments = af.n_segments, dur_mismatch = mismatch,
+          lang = lang, lang_conf = conf, ppl_char = pplC, ppl_word = pplW,
+          chars_per_sec = Heuristics.charsPerSec(t, clip.dur_ms),
+          max_repeat_run = Heuristics.maxRepeatRun(t),
+          symbol_frac = Heuristics.symbolFrac(t),
+          scrubbed_transcript = scrubbed,
+          scrub_hits = hits
+        )
+      }
+    }
+  }
+
+  /** Declarative decision layer: every rule is a Catalyst `when` expression
+    * over feature columns (reference's data-dependent branches,
+    * `image_processing.py:130-133, 93-97` → CASE WHEN, SURVEY §4.1) —
+    * visible to the optimizer, codegen'd, zero additional passes. */
+  def decide(feats: DataFrame, cfg: FilterConfig): DataFrame = {
+    val nonEmpty = length(col("transcript")) > 0
+    val decoded = col("decode_ok")
+
+    val reasonExprs = Seq(
+      when(!decoded, Reason.DecodeError),
+      when(!nonEmpty, Reason.EmptyText),
+      when(nonEmpty && !col("lang").isin(cfg.acceptedLangs.toSeq: _*), Reason.WrongLanguage),
+      when(nonEmpty && col("lang").isin(cfg.acceptedLangs.toSeq: _*) &&
+        col("lang_conf") < cfg.minLangConf, Reason.LowLangConf),
+      when(nonEmpty && col("ppl_char") > cfg.maxPplChar, Reason.HighPplChar),
+      when(nonEmpty && col("ppl_word") > cfg.maxPplWord, Reason.HighPplWord),
+      when(nonEmpty && (col("chars_per_sec") < cfg.minCharsPerSec ||
+        col("chars_per_sec") > cfg.maxCharsPerSec), Reason.LengthRatio),
+      when(col("max_repeat_run") > cfg.maxRepeatRun, Reason.Repetition),
+      when(col("symbol_frac") > cfg.maxSymbolFrac, Reason.SymbolDensity),
+      when(decoded && col("dur_mismatch") > cfg.maxDurMismatch, Reason.DurMismatch),
+      when(decoded && col("silence_frac") > cfg.maxSilenceFrac, Reason.Silence),
+      when(decoded && col("clip_frac") > cfg.maxClipFrac, Reason.Clipping),
+      when(decoded && col("dyn_range_db") < cfg.minDynRangeDb, Reason.FlatRange)
+    )
+
+    feats
+      .withColumn("drop_reasons",
+        filter(array(reasonExprs: _*), x => x.isNotNull))
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+  }
+
+  /** Full decision table in the canonical output column order. */
+  def decisions(
+      clips: Dataset[ClipRow],
+      cfg: FilterConfig,
+      model: Broadcast[TextModel],
+      counters: Option[Counters] = None
+  ): DataFrame = {
+    val d = decide(features(clips, cfg, model, counters).toDF(), cfg)
+    d.select(
+      col("clip_id"), col("keep"), col("drop_reasons"),
+      col("scrubbed_transcript"), col("lang"), col("lang_conf"),
+      col("ppl_char"), col("ppl_word"), col("sr_hz"), col("dur_ms"),
+      col("codec"), col("n_samples"), col("rms_db"), col("peak"),
+      col("silence_frac"), col("clip_frac"), col("dyn_range_db"),
+      col("speech_ms"), col("n_segments"), col("chars_per_sec"),
+      col("max_repeat_run"), col("symbol_frac"), col("scrub_hits"))
+  }
+
+  /** Per-partition lineage rows (reference C4/G12: intermediate-step lineage
+    * + batch counters, shrunk to scalars per SURVEY §4.2(2)): one row per
+    * input partition with row/keep counts, per-reason counts, clip_id range.
+    * Map-side partial aggregation makes this a near-free pass. */
+  def lineage(decisions: DataFrame): DataFrame = {
+    val withPid = decisions.withColumn("partition_id", spark_partition_id())
+    val reasonCounts = Reason.all.map(r =>
+      sum(when(array_contains(col("drop_reasons"), r), 1L).otherwise(0L))
+        .as(s"n_$r"))
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(size(col("scrub_hits")) > 0, 1L).otherwise(0L)).as("n_scrubbed"),
+      min(col("clip_id")).as("min_clip_id"),
+      max(col("clip_id")).as("max_clip_id")
+    ) ++ reasonCounts
+    withPid.groupBy(col("partition_id")).agg(aggs.head, aggs.tail: _*)
+  }
+}

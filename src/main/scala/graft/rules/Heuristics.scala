@@ -1,0 +1,173 @@
+package graft.rules
+
+import graft.model.{AudioFeatures, FilterConfig}
+
+/** Pure heuristic feature extraction (SURVEY §7.2 step 4) — no Spark here,
+  * so every rule is unit/property-testable in isolation, and the Spark layer
+  * stays a thin declarative shell.
+  */
+object Heuristics {
+
+  // ---- text features -------------------------------------------------------
+
+  /** H1 — transcript chars per second of claimed audio duration
+    * (reference analog: text-ratio diagnostic, `experimental_evaluator.py:
+    * 88-91`). */
+  def charsPerSec(transcript: String, durMs: Int): Double =
+    if (durMs <= 0) 0.0 else transcript.length * 1000.0 / durMs
+
+  /** H2 — longest run of consecutively repeated words (reference analog:
+    * small-component / speck cleanup thresholds M2/M7,
+    * `image_processing.py:1424-1434`). "word word word" → 3. */
+  def maxRepeatRun(transcript: String): Int = {
+    val words = transcript.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0
+    var best = 1
+    var run = 1
+    var i = 1
+    while (i < words.length) {
+      if (words(i) == words(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
+
+  /** H3 — fraction of non-letter/digit/whitespace chars (reference analog:
+    * noise `text_ratio`, `experimental_evaluator.py:88-91`). */
+  def symbolFrac(transcript: String): Double = {
+    if (transcript.isEmpty) return 0.0
+    var sym = 0
+    var i = 0
+    while (i < transcript.length) {
+      val c = transcript.charAt(i)
+      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) sym += 1
+      i += 1
+    }
+    sym.toDouble / transcript.length
+  }
+
+  // ---- audio features ------------------------------------------------------
+
+  @inline private def db(x: Double): Double =
+    20.0 * math.log10(math.max(x, 1e-9))
+
+  /** Run-length "morphology" on a boolean mask (reference M1-M3:
+    * erosion/dilation/opening/closing on binary masks,
+    * `image_processing.py:101-123`): opening drops true-runs shorter than
+    * `minRun`; closing bridges false-gaps of length ≤ `maxGap`. */
+  def openMask(mask: Array[Boolean], minRun: Int): Array[Boolean] = {
+    val out = mask.clone()
+    var i = 0
+    while (i < out.length) {
+      if (out(i)) {
+        var j = i
+        while (j < out.length && out(j)) j += 1
+        if (j - i < minRun) { var k = i; while (k < j) { out(k) = false; k += 1 } }
+        i = j
+      } else i += 1
+    }
+    out
+  }
+
+  def closeMask(mask: Array[Boolean], maxGap: Int): Array[Boolean] = {
+    val out = mask.clone()
+    var i = 0
+    while (i < out.length) {
+      if (!out(i)) {
+        var j = i
+        while (j < out.length && !out(j)) j += 1
+        // interior gap only (not leading/trailing silence)
+        if (i > 0 && j < out.length && j - i <= maxGap) {
+          var k = i; while (k < j) { out(k) = true; k += 1 }
+        }
+        i = j
+      } else i += 1
+    }
+    out
+  }
+
+  private def countSegments(mask: Array[Boolean]): Int = {
+    var n = 0
+    var i = 0
+    while (i < mask.length) {
+      if (mask(i) && (i == 0 || !mask(i - 1))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Percentile over a sorted copy, index = floor(q·(n−1)) — fixed spec so
+    * the oracle matches bit-for-bit. */
+  def percentile(xs: Array[Double], q: Double): Double = {
+    if (xs.isEmpty) return 0.0
+    val s = xs.clone()
+    java.util.Arrays.sort(s)
+    s(math.floor(q * (s.length - 1)).toInt)
+  }
+
+  /** Extract the full audio feature struct from decoded PCM.
+    * Frame-based (non-overlapping `cfg.frameMs` windows): RMS energy per
+    * frame → silence mask → opening/closing repair → speech span + segment
+    * count (reference F1 gradient text detection + F4 projection-profile
+    * line segmentation, `ocr_engine.py:319-346`, recast to 1-D energy). */
+  def audioFeatures(pcm: Array[Float], srHz: Int, cfg: FilterConfig): AudioFeatures = {
+    val n = pcm.length
+    if (n == 0)
+      return AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0)
+
+    var sumSq = 0.0
+    var peak = 0.0
+    var clipped = 0
+    var i = 0
+    while (i < n) {
+      val x = pcm(i).toDouble
+      sumSq += x * x
+      val a = math.abs(x)
+      if (a > peak) peak = a
+      // 0.97, not ~1.0: lossy codecs decode hard-clipped audio below full
+      // scale (µ-law's max decode level is 32124/32768 ≈ 0.980)
+      if (a >= 0.97) clipped += 1
+      i += 1
+    }
+    val rmsDb = db(math.sqrt(sumSq / n))
+    val clipFrac = clipped.toDouble / n
+
+    val frameLen = math.max(1, srHz * cfg.frameMs / 1000)
+    val nFrames = math.max(1, n / frameLen)
+    val frameDb = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var s = 0.0
+      var j = f * frameLen
+      val end = j + frameLen
+      while (j < end) { val x = pcm(j).toDouble; s += x * x; j += 1 }
+      frameDb(f) = db(math.sqrt(s / frameLen))
+      f += 1
+    }
+
+    val speechRaw = frameDb.map(_ >= cfg.silenceFloorDb)
+    val silenceFrac = 1.0 - speechRaw.count(identity).toDouble / nFrames
+    val speech = closeMask(openMask(speechRaw, cfg.minBurstFrames), cfg.maxGapFrames)
+    val speechMs = speech.count(identity).toDouble * cfg.frameMs
+    val dynRange = percentile(frameDb, 0.95) - percentile(frameDb, 0.05)
+
+    AudioFeatures(
+      n_samples = n,
+      rms_db = rmsDb,
+      peak = peak,
+      silence_frac = silenceFrac,
+      clip_frac = clipFrac,
+      dyn_range_db = dynRange,
+      speech_ms = speechMs,
+      n_segments = countSegments(speech)
+    )
+  }
+
+  /** H4 — claimed `dur_ms` vs actual decoded length: relative mismatch. */
+  def durMismatch(nSamples: Int, srHz: Int, durMs: Int): Double = {
+    if (durMs <= 0 || srHz <= 0) return 1.0
+    val actualMs = nSamples * 1000.0 / srHz
+    math.abs(actualMs - durMs) / durMs
+  }
+}

@@ -1,0 +1,228 @@
+package graft.text
+
+import graft.fixture.LangGen
+
+/** Broadcast-able text-model artifact: fastText-style language-ID +
+  * KenLM-style char/word n-gram language models (SURVEY §2.6 O2/O7).
+  *
+  * - LID: linear bag-of-hashed-char-n-grams classifier (multinomial
+  *   naive-Bayes parameterization — a linear model over hashed 1..3-gram
+  *   counts with a softmax posterior, the fastText supervised shape).
+  *   Confidence = posterior of the top language, the analog of the
+  *   reference's mean word confidence (`ocr_engine.py:99-100`).
+  * - PPL: per-language interpolated char trigram LM and word unigram LM;
+  *   ppl = exp(−(Σ log p)/N) (`experimental_evaluator` confidence-mean shape,
+  *   KenLM-style backoff via fixed-weight interpolation).
+  *
+  * Built deterministically on the driver from the seeded corpus
+  * (LangGen.corpus, seed disjoint from fixture rows), then broadcast once —
+  * the reference's lazy model singletons (`ocr_engine.py:26-70`) become
+  * "load once per executor via broadcast" (SURVEY §4.2(1)).
+  *
+  * All arrays are primitive and the class is a plain Serializable product —
+  * cheap to broadcast (~(3·2^16 + LM maps) doubles).
+  */
+final case class TextModel(
+    langs: IndexedSeq[String],
+    hashDim: Int,
+    // LID: per-language log P(bucket | lang) over hashed char n-grams + log prior
+    lidLogProb: Array[Array[Double]],
+    lidLogPrior: Array[Double],
+    // char LMs: per-language maps of n-gram -> count, orders 1..3, plus totals
+    charCounts: IndexedSeq[Map[String, Int]],
+    charTotals: Array[Long],
+    charsetSize: Array[Int],
+    // word LMs: per-language word -> count + totals
+    wordCounts: IndexedSeq[Map[String, Int]],
+    wordTotals: Array[Long]
+) extends Serializable {
+
+  import TextModel._
+
+  def langIndex(l: String): Int = langs.indexOf(l)
+
+  /** (bestLang, confidence = softmax posterior of best). */
+  def lid(text: String): (String, Double) = {
+    val t = normalize(text)
+    if (t.isEmpty) return ("und", 0.0)
+    val scores = new Array[Double](langs.length)
+    var k = 0
+    while (k < langs.length) { scores(k) = lidLogPrior(k); k += 1 }
+    foreachNgramHash(t, hashDim) { h =>
+      var i = 0
+      while (i < langs.length) { scores(i) += lidLogProb(i)(h); i += 1 }
+    }
+    // softmax with max-subtraction; normalize by feature count to keep
+    // confidences in a usable range for long texts
+    val n = math.max(1, ngramCount(t))
+    var best = 0
+    var i = 1
+    while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
+    var denom = 0.0
+    i = 0
+    while (i < scores.length) {
+      denom += math.exp((scores(i) - scores(best)) / n)
+      i += 1
+    }
+    (langs(best), 1.0 / denom)
+  }
+
+  /** Char-trigram perplexity of `text` under language `lang`'s LM
+    * (interpolated orders 3/2/1 with add-k smoothing). */
+  def pplChar(text: String, lang: String): Double = {
+    val li = langIndex(lang)
+    if (li < 0) return 1e9
+    val t = "^^" + normalize(text) + "$"
+    if (t.length <= 3) return 1e9
+    val counts = charCounts(li)
+    val total = charTotals(li).toDouble
+    val V = charsetSize(li).toDouble
+    var logSum = 0.0
+    var n = 0
+    var i = 2
+    while (i < t.length) {
+      val c1 = t.substring(i - 2, i + 1) // trigram
+      val c2 = t.substring(i - 1, i + 1) // bigram
+      val u1 = t.substring(i, i + 1)     // unigram
+      val ctx3 = t.substring(i - 2, i)
+      val ctx2 = t.substring(i - 1, i)
+      val p3 = (counts.getOrElse(c1, 0) + 0.1) / (counts.getOrElse(ctx3, 0) + 0.1 * V)
+      val p2 = (counts.getOrElse(c2, 0) + 0.1) / (counts.getOrElse(ctx2, 0) + 0.1 * V)
+      val p1 = (counts.getOrElse(u1, 0) + 0.1) / (total + 0.1 * V)
+      val p = 0.7 * p3 + 0.2 * p2 + 0.1 * p1
+      logSum += math.log(p)
+      n += 1
+      i += 1
+    }
+    math.exp(-logSum / n)
+  }
+
+  /** Word-unigram perplexity under `lang`'s LM with char-length-penalized
+    * OOV probability. */
+  def pplWord(text: String, lang: String): Double = {
+    val li = langIndex(lang)
+    if (li < 0) return 1e9
+    val words = tokenize(text)
+    if (words.isEmpty) return 1e9
+    val counts = wordCounts(li)
+    val total = wordTotals(li).toDouble
+    var logSum = 0.0
+    words.foreach { w =>
+      val c = counts.getOrElse(w, 0)
+      val p =
+        if (c > 0) c / total
+        else (0.5 / total) * math.pow(0.5, math.min(w.length, 12))
+      logSum += math.log(p)
+    }
+    math.exp(-logSum / words.length)
+  }
+
+  /** Best accepted language by char PPL — used when LID is uncertain. */
+  def bestPplChar(text: String, accepted: Iterable[String]): (String, Double) =
+    accepted.map(l => (l, pplChar(text, l))).minBy(_._2)
+}
+
+object TextModel {
+
+  /** Canonical text normalization shared by train + score (single spec so
+    * the oracle can mirror it): lowercase, collapse whitespace. */
+  def normalize(text: String): String =
+    text.toLowerCase.replaceAll("\\s+", " ").trim
+
+  def tokenize(text: String): Array[String] = {
+    val t = normalize(text).replaceAll("[^\\p{L}\\p{N} ]", "")
+    if (t.isEmpty) Array.empty else t.split(" ").filter(_.nonEmpty)
+  }
+
+  /** FNV-1a over the n-gram chars — stable, public hash. */
+  @inline private def fnv1a(s: CharSequence, from: Int, until: Int): Int = {
+    var h = 0x811C9DC5
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i)
+      h *= 0x01000193
+      i += 1
+    }
+    h
+  }
+
+  /** Iterate hashed char 1..3-gram buckets of already-normalized text. */
+  def foreachNgramHash(t: String, dim: Int)(f: Int => Unit): Unit = {
+    val len = t.length
+    var i = 0
+    while (i < len) {
+      f(Math.floorMod(fnv1a(t, i, i + 1), dim))
+      if (i + 2 <= len) f(Math.floorMod(fnv1a(t, i, i + 2), dim))
+      if (i + 3 <= len) f(Math.floorMod(fnv1a(t, i, i + 3), dim))
+      i += 1
+    }
+  }
+
+  def ngramCount(t: String): Int = {
+    val n = t.length
+    n + math.max(0, n - 1) + math.max(0, n - 2)
+  }
+
+  /** Deterministic build from the seeded corpus. ~2k sentences/lang. */
+  def build(perLang: Int = 1500, seed: Long = 1042L): TextModel = {
+    val corpus = LangGen.corpus(perLang, seed)
+    val langs = LangGen.langs
+    val dim = 1 << 16
+
+    val bucketCounts = Array.fill(langs.length)(new Array[Long](dim))
+    val charCounts = langs.map(_ => scala.collection.mutable.Map.empty[String, Int])
+    val charTotals = new Array[Long](langs.length)
+    val charsets = langs.map(_ => scala.collection.mutable.Set.empty[Char])
+    val wordCounts = langs.map(_ => scala.collection.mutable.Map.empty[String, Int])
+    val wordTotals = new Array[Long](langs.length)
+
+    langs.zipWithIndex.foreach { case (lang, li) =>
+      corpus(lang).foreach { sent =>
+        val t = normalize(sent)
+        foreachNgramHash(t, dim)(h => bucketCounts(li)(h) += 1)
+        // char LM counts over padded text, orders 1..3 + contexts
+        val padded = "^^" + t + "$"
+        var i = 0
+        while (i < padded.length) {
+          charsets(li) += padded.charAt(i)
+          val m = charCounts(li)
+          m.updateWith(padded.substring(i, i + 1))(c => Some(c.getOrElse(0) + 1))
+          if (i + 2 <= padded.length)
+            m.updateWith(padded.substring(i, i + 2))(c => Some(c.getOrElse(0) + 1))
+          if (i + 3 <= padded.length)
+            m.updateWith(padded.substring(i, i + 3))(c => Some(c.getOrElse(0) + 1))
+          charTotals(li) += 1
+          i += 1
+        }
+        tokenize(sent).foreach { w =>
+          wordCounts(li).updateWith(w)(c => Some(c.getOrElse(0) + 1))
+          wordTotals(li) += 1
+        }
+      }
+    }
+
+    // NB log-probs with add-alpha over buckets
+    val alpha = 0.5
+    val lidLogProb = Array.tabulate(langs.length) { li =>
+      val tot = bucketCounts(li).sum.toDouble
+      val denom = tot + alpha * dim
+      Array.tabulate(dim)(h => math.log((bucketCounts(li)(h) + alpha) / denom))
+    }
+    val lidLogPrior = Array.fill(langs.length)(math.log(1.0 / langs.length))
+
+    TextModel(
+      langs = langs,
+      hashDim = dim,
+      lidLogProb = lidLogProb,
+      lidLogPrior = lidLogPrior,
+      charCounts = charCounts.map(_.toMap),
+      charTotals = charTotals,
+      charsetSize = charsets.map(_.size).toArray,
+      wordCounts = wordCounts.map(_.toMap),
+      wordTotals = wordTotals
+    )
+  }
+
+  /** Process-wide cached artifact (built once per JVM, then broadcast). */
+  lazy val default: TextModel = build()
+}
