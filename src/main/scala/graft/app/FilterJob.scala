@@ -1,0 +1,115 @@
+package graft.app
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{ClipRow, FilterConfig}
+import graft.pipeline.FilterPipeline
+import graft.table.SnapshotTable
+import graft.text.TextModel
+
+/** The resumable filter job (SURVEY §7.2 steps 5-7).
+  *
+  * The input scan is split into `chunks` deterministic slices by data file
+  * (the Iceberg planning unit — reference analog: the batch loop with
+  * per-item isolation, `Backend/app.py:429-461`, lifted to file granularity).
+  * Each chunk: read only its files → pipeline → salted repartition →
+  * partitioned write → atomic snapshot commit. Kill + rerun resumes at the
+  * first uncommitted chunk and reprocesses nothing committed.
+  *
+  * Salted repartition (north-rule skew clause): output partitioning is
+  * (keep, lang) and one language is ~70% of rows, so shuffling by lang
+  * would hot-spot one writer task. `pmod(xxhash64(clip_id), S)` spreads
+  * every cohort uniformly over S shuffle partitions; each writer task then
+  * appends to its own file per (keep, lang) dir. Skew defused without any
+  * custom strategy (SURVEY §4.1).
+  */
+object FilterJob {
+
+  val clipSchema: StructType = StructType(Seq(
+    StructField("clip_id", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("sr_hz", IntegerType, nullable = false),
+    StructField("dur_ms", IntegerType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("transcript", StringType, nullable = true)
+  ))
+
+  final case class JobArgs(
+      input: String,
+      output: String,
+      preset: String = "default",
+      chunks: Int = 8,
+      saltBuckets: Int = 32
+  )
+
+  def readClips(spark: SparkSession, paths: Seq[String]): Dataset[ClipRow] = {
+    import spark.implicits._
+    spark.read.schema(clipSchema).parquet(paths: _*)
+      .na.fill(Map("transcript" -> ""))
+      .as[ClipRow]
+  }
+
+  /** List input parquet data files, deterministically ordered. */
+  def listDataFiles(spark: SparkSession, input: String): Seq[String] = {
+    val fs = FileSystem.get(new HPath(input).toUri, spark.sparkContext.hadoopConfiguration)
+    def walk(p: HPath): Seq[String] = {
+      val st = fs.listStatus(p).toSeq
+      st.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath.toString)
+        else Nil
+      }
+    }
+    walk(new HPath(input)).sorted
+  }
+
+  /** Run (or resume) the job; returns the final counters. */
+  def run(spark: SparkSession, args: JobArgs,
+          cfgOverride: Option[FilterConfig] = None): Map[String, Long] = {
+    val cfg = cfgOverride.getOrElse(graft.model.Presets(args.preset))
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val committed0 = SnapshotTable.open(args.output, args.chunks)
+    val files = listDataFiles(spark, args.input)
+
+    var done = committed0
+    (0 until args.chunks).foreach { c =>
+      if (!done.contains(c)) {
+        // round-robin file assignment → even chunk sizes
+        val slice = files.zipWithIndex.collect { case (f, i) if i % args.chunks == c => f }
+        val counters = new FilterPipeline.Counters(spark)
+        if (slice.nonEmpty) {
+          val clips = readClips(spark, slice)
+          val dec = FilterPipeline.decisions(clips, cfg, model, Some(counters))
+          val salted = dec.repartition(args.saltBuckets,
+            pmod(xxhash64(col("clip_id")), lit(args.saltBuckets)))
+          salted.write.mode("overwrite")
+            .partitionBy("keep", "lang")
+            .parquet(SnapshotTable.chunkDir(args.output, c))
+        }
+        SnapshotTable.commitChunk(args.output, c, args.chunks, Map(
+          "rows" -> counters.rows.value,
+          "decode_errors" -> counters.decodeErrors.value,
+          "scrubbed" -> counters.scrubbed.value
+        ))
+      }
+    }
+    val snap = SnapshotTable.currentSnapshot(args.output)
+    snap.map(_.counters).getOrElse(Map.empty)
+  }
+
+  /** Snapshot-pinned read of the committed decision table. */
+  def readDecisions(spark: SparkSession, table: String): DataFrame = {
+    val dirs = SnapshotTable.committedDataDirs(table)
+    require(dirs.nonEmpty, s"no committed snapshot at $table")
+    spark.read.option("basePath", table + "/data").parquet(dirs: _*)
+  }
+
+  /** Per-partition lineage table of the committed output (reference C4/G12
+    * lineage contract) — computed over the cheap scalar columns of the
+    * written table, aggregated map-side. */
+  def lineageOf(spark: SparkSession, table: String): DataFrame =
+    FilterPipeline.lineage(readDecisions(spark, table))
+}
