@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+import graft.codec.Codecs
+import graft.fixture.ClipGen
+import graft.model.{ClipRow, Presets}
+import graft.oracle.Oracle
+import graft.pipeline.FilterPipeline
+import graft.text.TextModel
+
+/** End-to-end gates vs the independent oracle (BASELINE.md):
+  * keep/drop F1 ≥ 0.99, exact scrubbed-transcript equality, per-row decoded
+  * PCM SNR ≥ 30 dB. Fixture: 1000 deterministic synthetic clips. */
+class PipelineSpec extends AnyFunSuite {
+
+  private val N = 1000
+  private val params = ClipGen.Params(N)
+  private val cfg = Presets.default
+
+  // generated once on the driver (parallel streams), shared by engine + oracle
+  private lazy val rows: Vector[ClipRow] =
+    java.util.stream.LongStream.range(0, N).parallel()
+      .mapToObj(i => ClipGen.row(i, params))
+      .collect(java.util.stream.Collectors.toList[ClipRow]).asScala.toVector
+
+  private lazy val oracleByIdCache: Map[String, Oracle.Expected] =
+    rows.map(r => r.clip_id -> Oracle.expected(r, cfg, TextModel.default)).toMap
+
+  private lazy val engineById: Map[String, (Boolean, Set[String], String)] = {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val clips = spark.createDataset(rows)
+    FilterPipeline.decisions(clips, cfg, model)
+      .select("clip_id", "keep", "drop_reasons", "scrubbed_transcript")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getSeq[String](2).toSet, r.getString(3))))
+      .toMap
+  }
+
+  test("generator is deterministic and clip_ids are unique") {
+    val again = ClipGen.row(17, params)
+    val orig = rows(17)
+    assert(orig.clip_id == again.clip_id)
+    assert(orig.bytes.sameElements(again.bytes))
+    assert(orig.transcript == again.transcript)
+    assert(rows.map(_.clip_id).distinct.size == N)
+  }
+
+  test("fixture is skewed as specified (one lang ~70%, one codec ~60%)") {
+    val byCodec = rows.groupBy(_.codec).view.mapValues(_.size).toMap
+    assert(byCodec(Codecs.PcmS16le).toDouble / N > 0.5)
+    assert(byCodec.keySet == Set(Codecs.PcmS16le, Codecs.Ulaw8, Codecs.Adpcm4))
+  }
+
+  test("GATE: keep/drop F1 >= 0.99 vs oracle labels") {
+    assert(engineById.size == N)
+    var tp = 0; var fp = 0; var fn = 0; var tn = 0
+    rows.foreach { r =>
+      val e = engineById(r.clip_id)._1
+      val o = oracleByIdCache(r.clip_id).keep
+      (e, o) match {
+        case (true, true)   => tp += 1
+        case (true, false)  => fp += 1
+        case (false, true)  => fn += 1
+        case (false, false) => tn += 1
+      }
+    }
+    val precision = tp.toDouble / math.max(1, tp + fp)
+    val recall = tp.toDouble / math.max(1, tp + fn)
+    val f1 = 2 * precision * recall / math.max(1e-12, precision + recall)
+    info(f"keep/drop vs oracle: tp=$tp fp=$fp fn=$fn tn=$tn F1=$f1%.4f")
+    assert(f1 >= 0.99, f"F1 $f1%.4f below gate")
+  }
+
+  test("GATE: drop reasons agree with oracle on >= 99% of rows") {
+    val mismatches = rows.filter { r =>
+      engineById(r.clip_id)._2 != oracleByIdCache(r.clip_id).reasons
+    }
+    info(s"reason-set mismatches: ${mismatches.size}/$N")
+    mismatches.take(3).foreach { r =>
+      info(s"  ${r.clip_id}: engine=${engineById(r.clip_id)._2} oracle=${oracleByIdCache(r.clip_id).reasons}")
+    }
+    assert(mismatches.size <= N / 100)
+  }
+
+  test("GATE: scrubbed transcript exactly equals oracle scrub for every row") {
+    rows.foreach { r =>
+      assert(engineById(r.clip_id)._3 == oracleByIdCache(r.clip_id).scrubbed,
+        s"scrub mismatch on ${r.clip_id}")
+    }
+  }
+
+  test("GATE: engine decode vs oracle decode SNR >= 30 dB per decodable row") {
+    rows.take(200).foreach { r =>
+      (Codecs.decode(r.codec, r.bytes), Oracle.decode(r.codec, r.bytes)) match {
+        case (Right(e), Some(o)) =>
+          assert(e.length == o.length, s"${r.clip_id} length")
+          var sig = 0.0; var err = 0.0
+          for (i <- e.indices) {
+            sig += o(i).toDouble * o(i)
+            val d = o(i).toDouble - e(i); err += d * d
+          }
+          val snr = if (err == 0) Double.PositiveInfinity else 10 * math.log10(sig / err)
+          assert(snr >= 30.0, s"${r.clip_id} snr=$snr")
+        case (Left(_), None) => // both reject — agreement
+        case (e, o) => fail(s"${r.clip_id}: decode disagreement engine=$e oracle defined=${o.isDefined}")
+      }
+    }
+  }
+
+  test("pipeline output row count and lineage counters are consistent") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val clips = spark.createDataset(rows.take(200))
+    val dec = FilterPipeline.decisions(clips, cfg, model)
+    val lin = FilterPipeline.lineage(dec).collect()
+    assert(lin.map(_.getAs[Long]("n_rows")).sum == 200)
+    val kept = dec.filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(lin.map(_.getAs[Long]("n_kept")).sum == kept)
+  }
+}

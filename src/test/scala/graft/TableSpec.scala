@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.FilterJob
+import graft.fixture.{ClipGen, GenMain}
+import graft.table.SnapshotTable
+
+/** Snapshot-table semantics: atomic commit log, snapshot-pinned reads, and
+  * the north-rule resume invariant — a killed job rerun produces a table
+  * with identical content to an uninterrupted run. */
+class TableSpec extends AnyFunSuite {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("snapshot json renders and parses round-trip") {
+    val dir = tmpDir("graft-snap")
+    SnapshotTable.open(dir, 4)
+    val s1 = SnapshotTable.commitChunk(dir, 2, 4, Map("rows" -> 10L))
+    assert(s1.id == 0 && s1.committedChunks == Set(2))
+    val s2 = SnapshotTable.commitChunk(dir, 0, 4, Map("rows" -> 5L))
+    assert(s2.id == 1 && s2.committedChunks == Set(0, 2))
+    assert(s2.counters("rows") == 15L)
+    val cur = SnapshotTable.currentSnapshot(dir).get
+    assert(cur == s2)
+    assert(!SnapshotTable.isComplete(dir))
+  }
+
+  test("open() deletes uncommitted chunk dirs, keeps committed ones") {
+    val dir = tmpDir("graft-open")
+    SnapshotTable.open(dir, 4)
+    val committedDir = Paths.get(SnapshotTable.chunkDir(dir, 1))
+    Files.createDirectories(committedDir)
+    Files.writeString(committedDir.resolve("keep.txt"), "x")
+    SnapshotTable.commitChunk(dir, 1, 4, Map.empty)
+    val orphan = Paths.get(SnapshotTable.chunkDir(dir, 3))
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.txt"), "y")
+    val committed = SnapshotTable.open(dir, 4)
+    assert(committed == Set(1))
+    assert(Files.exists(committedDir.resolve("keep.txt")))
+    assert(!Files.exists(orphan))
+  }
+
+  test("GATE: resume after kill yields identical committed table content") {
+    val spark = SparkTestBase.spark
+    val input = tmpDir("graft-in")
+    // small fast fixture: 240 rows, short clips
+    GenMain.generate(spark, input, ClipGen.Params(240, seed = 7, maxDurMs = 2000), files = 8)
+
+    val outA = tmpDir("graft-outA") + "/t"
+    val outB = tmpDir("graft-outB") + "/t"
+    val args = (o: String) => FilterJob.JobArgs(input, o, chunks = 4, saltBuckets = 8)
+
+    // uninterrupted run
+    FilterJob.run(spark, args(outA))
+    // interrupted run: complete, then roll back to snapshot 1 (chunks {0,1})
+    // and plant garbage in a now-uncommitted chunk — the kill scenario
+    FilterJob.run(spark, args(outB))
+    val meta = Paths.get(outB, "metadata")
+    Files.writeString(meta.resolve("current"), "v1.json")
+    Seq("v2.json", "v3.json").foreach(v => Files.deleteIfExists(meta.resolve(v)))
+    val junk = Paths.get(SnapshotTable.chunkDir(outB, 3), "keep=true", "lang=aa")
+    Files.createDirectories(junk)
+    Files.writeString(junk.resolve("part-corrupt.parquet"), "not parquet")
+    FilterJob.run(spark, args(outB)) // resume
+
+    assert(SnapshotTable.isComplete(outA) && SnapshotTable.isComplete(outB))
+    val a = FilterJob.readDecisions(spark, outA)
+      .drop("chunk").collect().map(_.toString).sorted
+    val b = FilterJob.readDecisions(spark, outB)
+      .drop("chunk").collect().map(_.toString).sorted
+    assert(a.length == 240 && b.length == 240)
+    assert(a.sameElements(b), "resumed table content differs from uninterrupted run")
+  }
+
+  test("decision table partition layout prunes on keep/lang") {
+    val spark = SparkTestBase.spark
+    val input = tmpDir("graft-in2")
+    GenMain.generate(spark, input, ClipGen.Params(60, seed = 11, maxDurMs = 1500), files = 2)
+    val out = tmpDir("graft-out2") + "/t"
+    FilterJob.run(spark, FilterJob.JobArgs(input, out, chunks = 2, saltBuckets = 4))
+    val dec = FilterJob.readDecisions(spark, out)
+    val plan = dec.filter(org.apache.spark.sql.functions.col("keep") === true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("keep#"),
+      s"expected partition pruning on keep; plan:\n$plan")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixture.{LangGen, Prng}
+import graft.rules.Heuristics
+import graft.text.{Scrubber, TextModel}
+
+class TextSpec extends AnyFunSuite {
+
+  lazy val model: TextModel = TextModel.default
+
+  test("LID identifies each synthetic language on held-out sentences") {
+    for (lang <- LangGen.langs) {
+      var right = 0
+      for (i <- 0 until 50) {
+        val rng = Prng.derive(777, lang.hashCode.toLong, i.toLong)
+        val s = LangGen.byName(lang).sentence(rng, 120)
+        if (model.lid(s)._1 == lang) right += 1
+      }
+      assert(right >= 47, s"LID accuracy for $lang: $right/50")
+    }
+  }
+
+  test("char PPL is monotone: garbled text scores higher than clean") {
+    val rng = new Prng(31)
+    val clean = (0 until 30).map { i =>
+      LangGen.byName("aa").sentence(Prng.derive(31, 1, i.toLong), 150)
+    }
+    val soup = "abcdefghijklmnopqrstuvwxyz "
+    val garbled = (0 until 30).map { _ =>
+      (0 until 150).map(_ => soup(rng.nextInt(soup.length))).mkString
+    }
+    val cleanMax = clean.map(model.pplChar(_, "aa")).max
+    val garbledMin = garbled.map(model.pplChar(_, "aa")).min
+    assert(garbledMin > cleanMax,
+      s"garbled min $garbledMin must exceed clean max $cleanMax")
+  }
+
+  test("word PPL explodes on out-of-vocabulary soup") {
+    val clean = LangGen.byName("bb").sentence(Prng.derive(32, 2, 0), 150)
+    assert(model.pplWord(clean, "bb") < 10000)
+    assert(model.pplWord("zzzqqq wwwxxx yyyvvv kkkjjj", "bb") > 100000)
+  }
+
+  test("scrubber replaces each PII class and reports hits") {
+    val (s1, h1) = Scrubber.scrub("write to user1@example2.com now")
+    assert(s1 == "write to <EMAIL> now" && h1.map(_.rule) == Seq("email"))
+    val (s2, _) = Scrubber.scrub("ssn 123-45-6789 ok")
+    assert(s2 == "ssn <ID> ok")
+    val (s3, _) = Scrubber.scrub("id AB1234567 ok")
+    assert(s3 == "id <ID> ok")
+    val (s4, _) = Scrubber.scrub("call +84 123 456 7890 now")
+    assert(s4 == "call <PHONE> now")
+    val (s5, h5) = Scrubber.scrub("you gorram smeg head")
+    assert(s5 == "you <TOX> <TOX> head" && h5 == Seq(graft.model.ScrubHit("tox", 2)))
+  }
+
+  test("scrub is idempotent (property, 500 cases)") {
+    val rng = new Prng(55)
+    val langs = LangGen.langs
+    for (i <- 0 until 500) {
+      val lang = langs(rng.nextInt(langs.length))
+      var s = LangGen.byName(lang).sentence(Prng.derive(55, 9, i.toLong), 80)
+      if (i % 3 == 0) s = s + " user@x.io 123-45-6789 frak +1 234 567 8901"
+      val once = Scrubber.scrub(s)._1
+      val twice = Scrubber.scrub(once)._1
+      assert(once == twice, s"not idempotent on: $s")
+    }
+  }
+
+  test("oracle scrub equals engine scrub exactly (spec-sharing gate)") {
+    val rng = new Prng(66)
+    for (i <- 0 until 300) {
+      val s = LangGen.byName("aa").sentence(Prng.derive(66, 3, i.toLong), 100) +
+        (if (i % 2 == 0) " mail user7@ex.org AB9876543 smeg" else "")
+      assert(Scrubber.scrub(s)._1 == graft.oracle.Oracle.scrub(s))
+    }
+  }
+
+  test("heuristics: repeat runs, symbol fraction, mask morphology, percentile") {
+    assert(Heuristics.maxRepeatRun("a b b b c") == 3)
+    assert(Heuristics.maxRepeatRun("") == 0)
+    assert(Heuristics.maxRepeatRun("x") == 1)
+    assert(Heuristics.symbolFrac("ab!!") == 0.5)
+    assert(Heuristics.symbolFrac("") == 0.0)
+    // opening removes short bursts
+    assert(Heuristics.openMask(Array(true, true, false, true, false), 2).toSeq ==
+      Seq(true, true, false, false, false))
+    // closing bridges interior gaps only
+    assert(Heuristics.closeMask(Array(false, true, false, false, true, false), 2).toSeq ==
+      Seq(false, true, true, true, true, false))
+    assert(Heuristics.percentile(Array(1.0, 2.0, 3.0, 4.0, 5.0), 0.5) == 3.0)
+    assert(Heuristics.percentile(Array.empty[Double], 0.5) == 0.0)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.oracle
+
+import graft.model.{ClipRow, FilterConfig}
+import graft.text.TextModel
+
+/** Independent plain-Scala reference implementation (FIXTURES.md §3).
+  *
+  * Shares only the *specs* with the engine — the G.711/IMA public codec
+  * specs, the TextModel artifact, the scrub pattern list, the documented
+  * rule thresholds — but every code path is written separately. The engine
+  * never sees this code; tests compare engine output against it row by row
+  * (keep/drop F1 ≥ 0.99, PCM SNR ≥ 30 dB, exact scrubbed-text equality).
+  */
+object Oracle {
+
+  // ---- independent codec decoders -----------------------------------------
+
+  /** G.711 µ-law decode via the spec formula on the 14-bit magnitude:
+    * mag14 = ((2m + 33) << e) − 33; pcm16 = sign · 4 · mag14. */
+  def decodeUlaw(bytes: Array[Byte]): Array[Float] =
+    bytes.map { b =>
+      val u = (~b) & 0xFF
+      val e = (u >> 4) & 7
+      val m = u & 0xF
+      val mag14 = ((2 * m + 33) << e) - 33
+      val pcm = (if ((u & 0x80) != 0) -4 * mag14 else 4 * mag14)
+      pcm / 32768.0f
+    }
+
+  def decodePcm16(bytes: Array[Byte]): Option[Array[Float]] =
+    if (bytes.isEmpty || bytes.length % 2 != 0) None
+    else Some {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Float](bytes.length / 2)
+      for (i <- out.indices) out(i) = bb.getShort(2 * i) / 32768.0f
+      out
+    }
+
+  private val imaStep = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIdx = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  def decodeAdpcm(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 4) return None
+    val n = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0)
+    if (n < 0 || bytes.length - 4 != (n + 1) / 2) return None
+    val out = new Array[Float](n)
+    var pred = 0
+    var idx = 0
+    for (i <- 0 until n) {
+      val byte = bytes(4 + i / 2) & 0xFF
+      val nib = if (i % 2 == 0) byte & 0xF else byte >>> 4
+      val step = imaStep(idx)
+      // diff = (step * (2*mag + 1)) / 8 computed the shift-accumulate way
+      var diff = step >> 3
+      if ((nib & 4) != 0) diff += step
+      if ((nib & 2) != 0) diff += step >> 1
+      if ((nib & 1) != 0) diff += step >> 2
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      pred = math.max(-32768, math.min(32767, pred))
+      idx = math.max(0, math.min(88, idx + imaIdx(nib)))
+      out(i) = pred.toShort / 32768.0f
+    }
+    Some(out)
+  }
+
+  def decode(codec: String, bytes: Array[Byte]): Option[Array[Float]] =
+    if (bytes == null || bytes.isEmpty) None
+    else codec match {
+      case "pcm_s16le" => decodePcm16(bytes)
+      case "ulaw8"     => Some(decodeUlaw(bytes))
+      case "adpcm4"    => decodeAdpcm(bytes)
+      case _           => None
+    }
+
+  // ---- independent scrubber (same pattern specs, own application loop) ----
+
+  def scrub(text: String): String = {
+    var t = text
+    for (r <- graft.text.Scrubber.rules)
+      t = r.pattern.matcher(t).replaceAll(r.replacement)
+    t
+  }
+
+  // ---- independent audio features -----------------------------------------
+
+  final case class AFeat(nSamples: Int, silenceFrac: Double, clipFrac: Double,
+                         dynRangeDb: Double)
+
+  def audioFeatures(pcm: Array[Float], srHz: Int, cfg: FilterConfig): AFeat = {
+    val n = pcm.length
+    if (n == 0) return AFeat(0, 1.0, 0.0, 0.0)
+    val clip = pcm.count(s => math.abs(s.toDouble) >= 0.97).toDouble / n
+    val flen = math.max(1, srHz * cfg.frameMs / 1000)
+    val nf = math.max(1, n / flen)
+    val fdb = (0 until nf).map { f =>
+      val seg = pcm.slice(f * flen, f * flen + flen)
+      val rms = math.sqrt(seg.map(s => s.toDouble * s.toDouble).sum / flen)
+      20.0 * math.log10(math.max(rms, 1e-9))
+    }.toArray
+    val silence = fdb.count(_ < cfg.silenceFloorDb).toDouble / nf
+    val sorted = fdb.sorted
+    def pct(q: Double) = sorted(math.floor(q * (sorted.length - 1)).toInt)
+    AFeat(n, silence, clip, pct(0.95) - pct(0.05))
+  }
+
+  // ---- independent decision cascade ---------------------------------------
+
+  final case class Expected(
+      clipId: String,
+      keep: Boolean,
+      reasons: Set[String],
+      scrubbed: String,
+      pcm: Option[Array[Float]]
+  )
+
+  def expected(row: ClipRow, cfg: FilterConfig, model: TextModel): Expected = {
+    val reasons = Set.newBuilder[String]
+    val decoded = decode(row.codec, row.bytes)
+    if (decoded.isEmpty) reasons += "decode_error"
+
+    val t = row.transcript
+    val scrubbed = if (cfg.scrubEnabled && t.nonEmpty) scrub(t) else t
+
+    if (t.isEmpty) reasons += "empty_transcript"
+    else {
+      val (lang, conf) = model.lid(t)
+      if (!cfg.acceptedLangs.contains(lang)) reasons += "wrong_language"
+      else if (conf < cfg.minLangConf) reasons += "low_lang_conf"
+      val pplLang = if (model.langIndex(lang) >= 0) lang else model.langs.head
+      if (model.pplChar(scrubbed, pplLang) > cfg.maxPplChar) reasons += "high_ppl_char"
+      if (model.pplWord(scrubbed, pplLang) > cfg.maxPplWord) reasons += "high_ppl_word"
+      val cps = if (row.dur_ms <= 0) 0.0 else t.length * 1000.0 / row.dur_ms
+      if (cps < cfg.minCharsPerSec || cps > cfg.maxCharsPerSec) reasons += "length_ratio"
+    }
+
+    // repetition / symbols apply to empty + nonempty alike (empty: 0 → pass)
+    val words = t.split("\\s+").filter(_.nonEmpty)
+    val runs = if (words.isEmpty) 0 else {
+      var best = 1; var cur = 1
+      for (i <- 1 until words.length) {
+        if (words(i) == words(i - 1)) { cur += 1; best = math.max(best, cur) }
+        else cur = 1
+      }
+      best
+    }
+    if (runs > cfg.maxRepeatRun) reasons += "repetition"
+    val syms =
+      if (t.isEmpty) 0.0
+      else t.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
+        .toDouble / t.length
+    if (syms > cfg.maxSymbolFrac) reasons += "symbol_density"
+
+    decoded.foreach { pcm =>
+      val f = audioFeatures(pcm, row.sr_hz, cfg)
+      val actualMs = f.nSamples * 1000.0 / row.sr_hz
+      val mism = if (row.dur_ms <= 0) 1.0 else math.abs(actualMs - row.dur_ms) / row.dur_ms
+      if (mism > cfg.maxDurMismatch) reasons += "dur_text_mismatch"
+      if (f.silenceFrac > cfg.maxSilenceFrac) reasons += "silence"
+      if (f.clipFrac > cfg.maxClipFrac) reasons += "clipping"
+      if (f.dynRangeDb < cfg.minDynRangeDb) reasons += "flat_dyn_range"
+    }
+
+    val rs = reasons.result()
+    Expected(row.clip_id, rs.isEmpty, rs, scrubbed, decoded)
+  }
+}
