@@ -1,24 +1,117 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+import graft.app.FilterJob
+import graft.fixture.{ClipGen, GenMain}
+
+/** Driver-run benchmark: one JSON line with per-query seconds at local[32],
+  * plus the north-rule scaling evidence — the same filter job over the same
+  * input at local[8] vs local[32] (N vs 4N), reporting clips/sec at both
+  * and the scaling efficiency (throughput ratio / 4).
+  *
+  * Methodology: this VM shows 10-30% hypervisor steal and sys-time spikes,
+  * so every measured config gets JIT warm-up runs and the median of 3 is
+  * reported. The fixture parquet is generated once and cached; generation
+  * is never inside a measured region. See BENCH/BASELINE.md.
+  */
 object Bench {
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  private def median3(f: => Unit): Double = {
+    val xs = (1 to 3).map(_ => timed(f)); xs.sorted.apply(1)
+  }
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ensureClips(spark: SparkSession, n: Long): String = {
+    // 256 files: with 4 resume chunks each chunk scans 64 files → full
+    // waves on 32 cores (a real 10^12-row table has no shortage of files)
+    val dir = s"/tmp/graft_bench/clips_n${n}_s42_f256"
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      GenMain.generate(spark, dir, ClipGen.Params(n, seed = 42L), files = 256)
+    dir
+  }
+
+  private def wipe(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists)
+  }
+
+  private def runJob(spark: SparkSession, clipsDir: String, out: String): Unit = {
+    wipe(out)
+    FilterJob.run(spark, FilterJob.JobArgs(clipsDir, out, chunks = 4, saltBuckets = 8))
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS",
+      if (sfDir.contains("sf0.1")) "50000" else "5000").toLong
+
+    // ---- phase 1: local[cpus] --------------------------------------------
+    var spark = session(cpus)
+    val clipsDir = ensureClips(spark, benchRows)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("clips_")).foreach { case (name, fn) =>
+        fn(spark, sfDir).count() // warm
+        results(name) = median3(fn(spark, sfDir).count(): Unit)
+      }
+
+    def countOnly(s: SparkSession): Unit = {
+      val model = s.sparkContext.broadcast(graft.text.TextModel.default)
+      graft.pipeline.FilterPipeline.decisions(
+        FilterJob.readClips(s, Seq(clipsDir)),
+        graft.model.Presets.default, model).count()
+      ()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    (1 to 2).foreach(_ => countOnly(spark)) // JIT warm-up for the hot path
+    val scoreN = median3(countOnly(spark))
+    runJob(spark, clipsDir, "/tmp/graft_bench/out_warm") // warm the write path
+    val pipeN = median3(runJob(spark, clipsDir, s"/tmp/graft_bench/out_$cpus"))
+    results(s"decode_score_n$cpus") = scoreN
+    results(s"pipeline_n$cpus") = pipeN
     spark.stop()
+
+    // ---- phase 2: local[cpus/4] — same job, same input, same JVM ---------
+    val small = math.max(1, cpus / 4)
+    spark = session(small)
+    countOnly(spark) // rewarm at new parallelism
+    val scoreS = median3(countOnly(spark))
+    val pipeS = median3(runJob(spark, clipsDir, s"/tmp/graft_bench/out_$small"))
+    results(s"decode_score_n$small") = scoreS
+    results(s"pipeline_n$small") = pipeS
+    spark.stop()
+
+    val tputN = benchRows / pipeN
+    val tputS = benchRows / pipeS
+    val eff = (tputN / tputS) / (cpus.toDouble / small)
+    val effScore = ((benchRows / scoreN) / (benchRows / scoreS)) / (cpus.toDouble / small)
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,"clips_per_sec_n$cpus":$tputN%.1f,"clips_per_sec_n$small":$tputS%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_compute":$effScore%.3f}""")
   }
 }

@@ -1,13 +1,341 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.fixture.ClipGen
+import graft.model.Presets
+import graft.pipeline.FilterPipeline
+import graft.text.TextModel
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Two query families:
+  *  - `clips_*`: the engine's own pipeline over the deterministic synthetic
+  *    clips fixture (FIXTURES.md), sized by scale factor. Not SQL-expressible
+  *    (codecs + broadcast models) → no oracle entry; correctness is gated by
+  *    the oracle in `sbt test` instead.
+  *  - the rest: declarative operators over the driver's parquet tables with
+  *    DuckDB oracle SQL. Numeric aggregates go through DECIMAL so Spark and
+  *    DuckDB sums are bit-identical (order-independent), and every query has
+  *    a deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Rows for the clips fixture at a given sf dir (deterministic). */
+  def clipRowsFor(dir: String): Long =
+    if (dir.contains("sf0.1")) 20000L
+    else if (dir.contains("sf0.01")) 2000L
+    else 500L
+
+  private def clipsDF(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val params = ClipGen.Params(clipRowsFor(dir))
+    val model = s.sparkContext.broadcast(TextModel.default)
+    val clips = s.range(0, params.n, 1,
+      math.max(8, s.sparkContext.defaultParallelism))
+      .map(i => ClipGen.row(i, params))
+    FilterPipeline.decisions(clips, Presets.default, model)
+  }
+
+  /** Flagship query on sf=0.001 scale; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    clipsDF(spark, "sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- engine pipeline over the synthetic clips table (rows-only) ------
+    "clips_decisions" -> ((s, dir) => clipsDF(s, dir)
+      .select("clip_id", "keep", "drop_reasons", "scrubbed_transcript",
+        "lang", "lang_conf", "ppl_char", "ppl_word", "codec")
+      .orderBy("clip_id")),
+    "clips_lineage" -> ((s, dir) =>
+      FilterPipeline.lineage(clipsDF(s, dir)).orderBy("partition_id")),
+    "clips_keep_rate" -> ((s, dir) => clipsDF(s, dir)
+      .groupBy("lang", "codec")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang", "codec")),
+
+    // ---- aggregations (G9-G11 analogs) -----------------------------------
+    "q_pricing_summary" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      // DECIMAL sums (order-independent, bit-identical to DuckDB), rounded
+      // once at the end and surfaced as DOUBLE so both engines stringify
+      // identically; the discount product keeps full scale until the final
+      // round (per-row decimal rounding modes differ between engines)
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType), 2).as("sum_base"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).cast(DoubleType), 2)
+          .as("sum_disc"),
+        count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- join + agg (broadcast small dim) --------------------------------
+    "q_revenue_by_segment" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- multi-way join through dims -------------------------------------
+    "q_nation_balance" -> ((s, dir) => {
+      val cu = s.read.parquet(t(dir, "customer"))
+      val na = s.read.parquet(t(dir, "nation"))
+      val re = s.read.parquet(t(dir, "region"))
+      cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType), 2).as("total_bal"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- top-k with deterministic tie-break ------------------------------
+    "q_top_parts" -> ((s, dir) =>
+      s.read.parquet(t(dir, "part"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(100)),
+
+    // ---- window functions ------------------------------------------------
+    "q_events_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"),
+          lag("event_type", 1).over(w).as("prev_type"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // ---- sessionization (gap > 1800 s) -----------------------------------
+    "q_events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(t(dir, "events"))
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- exact dedup over documents (training-data op) -------------------
+    "q_docs_dedup_exact" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .groupBy("text")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")),
+
+    // ---- text quality scoring (training-data op) -------------------------
+    "q_docs_quality" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val len = length(col("text"))
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      val words = size(split(col("text"), " "))
+      d.select(col("doc_id"), len.as("n_chars_q"),
+        words.as("n_words"),
+        punct.as("n_punct"),
+        round(punct.cast(DoubleType) / len, 6).as("punct_ratio"),
+        when(len < 50, "short")
+          .when(punct.cast(DoubleType) / len > 0.1, "noisy")
+          .otherwise("ok").as("quality_class"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- heuristic language-ID as pure column exprs ----------------------
+    "q_docs_langid" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val lower = org.apache.spark.sql.functions.lower(col("text"))
+      val len = greatest(length(lower), lit(1))
+      val vowels = len - length(regexp_replace(lower, "[aeiou]", ""))
+      val nonAscii = length(regexp_replace(col("text"), "[\\x00-\\x7F]", ""))
+      val vr = round(vowels.cast(DoubleType) / len, 6)
+      d.select(col("doc_id"), vr.as("vowel_ratio"),
+        nonAscii.as("n_non_ascii"),
+        when(nonAscii > 0, "non_latin")
+          .when(vr >= lit(0.35), "vowelish")
+          .otherwise("latin").as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token counting (training-data op) -------------------------------
+    "q_docs_tokens" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          size(split(col("text"), "[^a-zA-Z0-9]+")).as("n_alnum_runs"))
+        .orderBy("doc_id")),
+
+    // ---- MinHash-LSH near-dup (training-data op; rows-only) --------------
+    // self-contained demonstration: docs ∪ lightly-edited copies of the
+    // first 30 docs; the LSH banding must surface exactly those pairs
+    "q_docs_near_dup" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val copies = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text"))
+      graft.pipeline.Dedup.nearDupPairs(d.union(copies), "doc_id", "text",
+          shingleK = 5, numHashes = 32, rowsPerBand = 4, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    }),
+
+    // ---- SimHash near-dup (training-data op; rows-only) ------------------
+    "q_docs_simhash" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val copies = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text"))
+      graft.pipeline.Dedup.simhashPairs(d.union(copies), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- winnowing fingerprints (training-data op; rows-only) ------------
+    "q_docs_fingerprint" -> ((s, dir) =>
+      graft.pipeline.Dedup.fingerprints(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .select(col("id"), size(col("fingerprint")).as("n_grams"),
+          col("fingerprint")(0).as("min_gram"))
+        .orderBy("id")),
+
+    // ---- embedding near-dup pairs, brute-force + LSH-bucketed ------------
+    "q_emb_neardup" -> ((s, dir) =>
+      graft.pipeline.Dedup.embNearDup(
+          s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+          minSim = 0.4)
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("id_a", "id_b")),
+    "q_emb_neardup_lsh" -> ((s, dir) =>
+      graft.pipeline.Dedup.embNearDupLsh(
+          s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+          minSim = 0.3, planes = 8)
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("id_a", "id_b")),
+
+    // ---- brute-force cosine top-k ANN baseline (training-data op) --------
+    "q_emb_knn" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val nq = sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x))
+      val nv = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+      val sims = q.join(broadcast(e), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot / (nq * nv)).as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  /** DuckDB-dialect oracle SQL over the same parquet tables; aliases match
+    * the Spark column names exactly (driver hash-compares by sorted column
+    * name). `clips_*` entries are intentionally absent (rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty,
+        |  round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double), 2) AS sum_base,
+        |  round(cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double), 2) AS sum_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_nation_balance" ->
+      """SELECT r_name, n_name,
+        |  round(cast(sum(cast(c_acctbal as decimal(18,2))) as double), 2) AS total_bal,
+        |  count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_top_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 100""".stripMargin,
+    "q_events_window" ->
+      """SELECT event_id, user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events ORDER BY user_id, rn""".stripMargin,
+    "q_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events)
+        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_docs_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+    "q_docs_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_q,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+        |  round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / cast(length(text) as double), 6) AS punct_ratio,
+        |  CASE WHEN length(text) < 50 THEN 'short'
+        |       WHEN length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / cast(length(text) as double) > 0.1 THEN 'noisy'
+        |       ELSE 'ok' END AS quality_class
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_langid" ->
+      """SELECT doc_id,
+        |  round((length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))) / cast(greatest(length(lower(text)), 1) as double), 6) AS vowel_ratio,
+        |  length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS n_non_ascii,
+        |  CASE WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > 0 THEN 'non_latin'
+        |       WHEN (length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))) / cast(greatest(length(lower(text)), 1) as double) >= 0.35 THEN 'vowelish'
+        |       ELSE 'latin' END AS lang_guess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_split_to_array(text, '[^a-zA-Z0-9]+')) AS n_alnum_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_emb_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 4) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_emb_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |sims AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.embedding) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sims)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+  )
 }

@@ -42,7 +42,7 @@ object FilterJob {
       output: String,
       preset: String = "default",
       chunks: Int = 8,
-      saltBuckets: Int = 32
+      saltBuckets: Int = 8
   )
 
   def readClips(spark: SparkSession, paths: Seq[String]): Dataset[ClipRow] = {
@@ -83,7 +83,13 @@ object FilterJob {
         if (slice.nonEmpty) {
           val clips = readClips(spark, slice)
           val dec = FilterPipeline.decisions(clips, cfg, model, Some(counters))
-          val salted = dec.repartition(args.saltBuckets,
+          // shuffle key = output partition columns + clip_id-hash salt: every
+          // writer task holds a handful of (keep, lang, salt) groups, so the
+          // file count stays ≈ |keep|·|lang|·salt per chunk instead of
+          // tasks × dirs, and the salt still spreads the 70%-language cohort
+          // over `saltBuckets` tasks (the skew clause)
+          val salted = dec.repartition(
+            col("keep"), col("lang"),
             pmod(xxhash64(col("clip_id")), lit(args.saltBuckets)))
           salted.write.mode("overwrite")
             .partitionBy("keep", "lang")

@@ -21,12 +21,13 @@ object Main {
       output = output,
       preset = a.getOrElse("preset", "default"),
       chunks = a.getOrElse("chunks", "8").toInt,
-      saltBuckets = a.getOrElse("salt", "32").toInt
+      saltBuckets = a.getOrElse("salt", "8").toInt
     )
 
     val builder = SparkSession.builder().appName("graft-filter")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     // master comes from spark-submit when present; default for sbt run
     val spark = sys.props.get("spark.master")
       .fold(builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]")))(_ => builder)

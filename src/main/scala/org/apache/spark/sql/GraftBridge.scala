@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal accessibility bridge into `private[sql]` surface: Column ↔
+  * Expression conversion for our native Catalyst expressions (Spark 4 made
+  * `Column` node-based; `classic.ExpressionUtils` is the supported adapter
+  * but is sql-package-private). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
