@@ -67,6 +67,16 @@ final case class TextModel(
     (langs(best), 1.0 / denom)
   }
 
+  /** Per-JVM fast lookup structures (rebuilt after broadcast deserialization;
+    * the serialized artifact stays the plain maps). Keys pack 1-3 UTF-16
+    * code units plus a length tag into one Long — exact, collision-free. */
+  @transient private lazy val fastChar: Array[TextModel.LongIntMap] =
+    charCounts.map { m =>
+      val f = new TextModel.LongIntMap(m.size * 2)
+      m.foreach { case (k, v) => f.put(TextModel.packKey(k, 0, k.length), v) }
+      f
+    }.toArray
+
   /** Char-trigram perplexity of `text` under language `lang`'s LM
     * (interpolated orders 3/2/1 with add-k smoothing). */
   def pplChar(text: String, lang: String): Double = {
@@ -74,21 +84,18 @@ final case class TextModel(
     if (li < 0) return 1e9
     val t = "^^" + normalize(text) + "$"
     if (t.length <= 3) return 1e9
-    val counts = charCounts(li)
+    val counts = fastChar(li)
     val total = charTotals(li).toDouble
     val V = charsetSize(li).toDouble
     var logSum = 0.0
     var n = 0
     var i = 2
     while (i < t.length) {
-      val c1 = t.substring(i - 2, i + 1) // trigram
-      val c2 = t.substring(i - 1, i + 1) // bigram
-      val u1 = t.substring(i, i + 1)     // unigram
-      val ctx3 = t.substring(i - 2, i)
-      val ctx2 = t.substring(i - 1, i)
-      val p3 = (counts.getOrElse(c1, 0) + 0.1) / (counts.getOrElse(ctx3, 0) + 0.1 * V)
-      val p2 = (counts.getOrElse(c2, 0) + 0.1) / (counts.getOrElse(ctx2, 0) + 0.1 * V)
-      val p1 = (counts.getOrElse(u1, 0) + 0.1) / (total + 0.1 * V)
+      val p3 = (counts.get(TextModel.packKey(t, i - 2, i + 1)) + 0.1) /
+        (counts.get(TextModel.packKey(t, i - 2, i)) + 0.1 * V)
+      val p2 = (counts.get(TextModel.packKey(t, i - 1, i + 1)) + 0.1) /
+        (counts.get(TextModel.packKey(t, i - 1, i)) + 0.1 * V)
+      val p1 = (counts.get(TextModel.packKey(t, i, i + 1)) + 0.1) / (total + 0.1 * V)
       val p = 0.7 * p3 + 0.2 * p2 + 0.1 * p1
       logSum += math.log(p)
       n += 1
@@ -124,14 +131,68 @@ final case class TextModel(
 
 object TextModel {
 
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+  private val nonWordRe = java.util.regex.Pattern.compile("[^\\p{L}\\p{N} ]")
+
   /** Canonical text normalization shared by train + score (single spec so
     * the oracle can mirror it): lowercase, collapse whitespace. */
   def normalize(text: String): String =
-    text.toLowerCase.replaceAll("\\s+", " ").trim
+    wsRe.matcher(text.toLowerCase).replaceAll(" ").trim
 
   def tokenize(text: String): Array[String] = {
-    val t = normalize(text).replaceAll("[^\\p{L}\\p{N} ]", "")
+    val t = nonWordRe.matcher(normalize(text)).replaceAll("")
     if (t.isEmpty) Array.empty else t.split(" ").filter(_.nonEmpty)
+  }
+
+  /** Pack up to 3 UTF-16 code units of s[from,until) + length tag into a
+    * Long: exact key for the char-LM maps (n ≤ 3, chars are 16-bit). */
+  @inline def packKey(s: CharSequence, from: Int, until: Int): Long = {
+    var k = (until - from).toLong
+    var i = from
+    while (i < until) { k = (k << 16) | s.charAt(i); i += 1 }
+    k
+  }
+
+  /** Minimal open-addressing Long→Int map (linear probing, default 0). */
+  final class LongIntMap(expected: Int) extends Serializable {
+    private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Int](cap)
+    private var used = new Array[Boolean](cap)
+    private var size = 0
+
+    private def idx(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      (h & mask).toInt
+    }
+
+    def put(k: Long, v: Int): Unit = {
+      if (size * 2 >= cap) grow()
+      var i = idx(k)
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      if (!used(i)) { used(i) = true; keys(i) = k; size += 1 }
+      vals(i) = v
+    }
+
+    def get(k: Long): Int = {
+      var i = idx(k)
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      0
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); vals = new Array[Int](cap)
+      used = new Array[Boolean](cap); size = 0
+      var i = 0
+      while (i < ok.length) { if (ou(i)) put(ok(i), ov(i)); i += 1 }
+    }
   }
 
   /** FNV-1a over the n-gram chars — stable, public hash. */
