@@ -105,8 +105,10 @@ final case class FilterConfig(
     maxPplChar: Double = 25.0,
     maxPplWord: Double = 100000.0,
     adaptivePpl: Boolean = false,
-    sauvolaK: Double = 0.5, // thresh = mean * (1 + k*(std/R - 1))
-    sauvolaR: Double = 128.0,
+    // adaptive cutoff = mean + k·std per cohort (Niblack form, SURVEY T5 —
+    // the Sauvola std/R normalization assumes pixel-range stats and inverts
+    // on PPL-scale values)
+    niblackK: Double = 2.0,
     // H1 length ratio: transcript chars per second of audio
     minCharsPerSec: Double = 2.0,
     maxCharsPerSec: Double = 60.0,

@@ -33,22 +33,26 @@ object Dedup {
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 32,
                    rowsPerBand: Int = 4): DataFrame = {
+    // one row per (doc, shingle) with the full hash vector inline; the
+    // signature is numHashes min-aggregates in a single shuffle — never a
+    // per-(doc, hash-position) row explosion (32x fewer shuffle rows)
     val sh = docs
-      .select(col(idCol).as("__id"),
+      .select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleK)).as("sh"))
-    // per (doc, hash-family) minimum — posexplode of the per-shingle hash
-    // vector, then min-aggregate; one shuffle keyed by (id, pos)
-    val hashed = sh.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
-        i => xxhash64(i.cast("string"), col("sh")))).as(Seq("pos", "h")))
-    val minhash = hashed.groupBy(col("__id"), col("pos")).agg(min(col("h")).as("mh"))
-    minhash
-      .withColumn("band", (col("pos") / rowsPerBand).cast("int"))
-      .groupBy(col("__id"), col("band"))
-      .agg(xxhash64(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("pos"), col("mh")))),
-          s => s.getField("mh").cast("string")))).as("band_hash"))
-      .select(col("__id").as("id"), col("band"), col("band_hash"))
+      .withColumn("hs", transform(sequence(lit(0), lit(numHashes - 1)),
+        i => xxhash64(i.cast("string"), col("sh"))))
+    val minCols = (0 until numHashes).map(i =>
+      min(element_at(col("hs"), i + 1)).as(s"mh$i"))
+    val sig = sh.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"mh$i").cast("string")): _*)).as("band_hash"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
   }
 
   /** LSH candidate pairs (id_a < id_b) from shared band buckets. The join

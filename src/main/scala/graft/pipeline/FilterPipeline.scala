@@ -156,6 +156,37 @@ object FilterPipeline {
       .withColumn("keep", size(col("drop_reasons")) === 0)
   }
 
+  /** Adaptive variant of the PPL cutoff (SURVEY T2/T5): instead of the fixed
+    * `maxPplChar`, each (lang) cohort gets a `mean + k·std` threshold
+    * (Niblack form) computed from the data itself — the reference's adaptive
+    * thresholding family (`image_processing.py:572-578` Niblack;
+    * `:72-86` per-neighborhood mean), lifted from pixel neighborhoods to
+    * language cohorts. Two passes: a cheap aggregate over the feature table,
+    * broadcast-joined back (no second heavyweight decode — callers pass the
+    * same cached/checkpointed features frame). */
+  def decideAdaptive(feats: DataFrame, cfg: FilterConfig): DataFrame = {
+    val cohorts = feats
+      .filter(col("decode_ok") && length(col("transcript")) > 0)
+      .groupBy(col("lang"))
+      .agg(avg(col("ppl_char")).as("ppl_mean"),
+        coalesce(stddev_pop(col("ppl_char")), lit(0.0)).as("ppl_std"))
+      .withColumn("ppl_cutoff",
+        col("ppl_mean") + lit(cfg.niblackK) * col("ppl_std"))
+      .select(col("lang"), col("ppl_cutoff"))
+    val joined = feats.join(broadcast(cohorts), Seq("lang"), "left")
+    val base = decide(joined, cfg)
+    // swap the fixed high_ppl_char verdict for the cohort-adaptive one
+    base
+      .withColumn("drop_reasons",
+        array_distinct(concat(
+          filter(col("drop_reasons"), r => r =!= Reason.HighPplChar),
+          filter(array(when(length(col("transcript")) > 0 &&
+            col("ppl_char") > coalesce(col("ppl_cutoff"), lit(cfg.maxPplChar)),
+            Reason.HighPplChar)), x => x.isNotNull))))
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .drop("ppl_cutoff")
+  }
+
   /** Full decision table in the canonical output column order. */
   def decisions(
       clips: Dataset[ClipRow],

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.fixture.ClipGen
+import graft.model.Presets
+import graft.pipeline.FilterPipeline
+import graft.text.TextModel
+
+/** The Sauvola-form cohort-adaptive PPL cutoff (SURVEY T2/T4). */
+class AdaptiveSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("adaptive cutoff still separates garbled from clean and keeps clean rows") {
+    import spark.implicits._
+    val params = ClipGen.Params(300, seed = 3, maxDurMs = 2000)
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val clips = spark.range(300).map(i => ClipGen.row(i, params))
+    val feats = FilterPipeline.features(clips, Presets.adaptive, model).toDF().cache()
+
+    val fixed = FilterPipeline.decide(feats, Presets.default)
+    val adaptive = FilterPipeline.decideAdaptive(feats, Presets.adaptive)
+
+    // planted garbled rows must still drop with high_ppl_char under both
+    val planted = spark.range(300).map(i =>
+      (f"clip-${ClipGen.permute(i, params.n, params.seed)}%012d",
+        ClipGen.plantedDefect(i, params))).toDF("clip_id", "planted")
+    def pplDropIds(df: org.apache.spark.sql.DataFrame) =
+      df.join(planted, "clip_id")
+        .filter(array_contains(col("drop_reasons"), "high_ppl_char"))
+        .select("planted").collect().map(_.getString(0))
+
+    val fixedDrops = pplDropIds(fixed).count(_ == "garbled")
+    val adaptDrops = pplDropIds(adaptive).count(_ == "garbled")
+    assert(fixedDrops > 0, "fixture must contain garbled rows")
+    assert(adaptDrops >= (fixedDrops * 9) / 10,
+      s"adaptive caught $adaptDrops of $fixedDrops garbled rows")
+    // and not start dropping clean rows
+    // data-relative thresholds may clip the extreme tail of a small cohort;
+    // allow <=1% clean-row drops
+    val cleanTotal = planted.filter(col("planted") === "none").count()
+    val cleanDropped = adaptive.join(planted, "clip_id")
+      .filter(col("planted") === "none" && !col("keep")).count()
+    assert(cleanDropped <= math.max(1, cleanTotal / 100),
+      s"adaptive dropped $cleanDropped/$cleanTotal clean rows")
+    feats.unpersist()
+  }
+}
