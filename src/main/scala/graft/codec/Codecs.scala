@@ -42,6 +42,27 @@ object Codecs {
 
   @inline private def s16ToFloat(s: Short): Float = s / 32768.0f
 
+  /** Linear-interpolation resample to a target rate (SURVEY P21: align to a
+    * common reference grid before cross-rate comparison). Deterministic
+    * double math; output length = floor(n * to / from). */
+  def resampleLinear(pcm: Array[Float], fromHz: Int, toHz: Int): Array[Float] = {
+    if (fromHz == toHz || pcm.length == 0) return pcm
+    val n = (pcm.length.toLong * toHz / fromHz).toInt
+    val out = new Array[Float](n)
+    val step = fromHz.toDouble / toHz
+    var i = 0
+    while (i < n) {
+      val pos = i * step
+      val j = pos.toInt
+      val frac = pos - j
+      val a = pcm(math.min(j, pcm.length - 1))
+      val b = pcm(math.min(j + 1, pcm.length - 1))
+      out(i) = (a + (b - a) * frac).toFloat
+      i += 1
+    }
+    out
+  }
+
   // ---- pcm_s16le -----------------------------------------------------------
 
   def decodePcmS16le(bytes: Array[Byte]): Either[String, Array[Float]] = {

@@ -82,6 +82,24 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("linear resample preserves a sinusoid (P21 reference-grid alignment)") {
+    val sr = 44100
+    val n = sr / 2
+    val src = Array.tabulate(n)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440.0 * i / sr)).toFloat)
+    val out = Codecs.resampleLinear(src, sr, 16000)
+    assert(out.length == n.toLong * 16000 / sr)
+    // compare against the analytically resampled sinusoid
+    var maxErr = 0.0
+    for (i <- out.indices) {
+      val expected = 0.5 * math.sin(2 * math.Pi * 440.0 * i / 16000.0)
+      maxErr = math.max(maxErr, math.abs(out(i) - expected))
+    }
+    assert(maxErr < 0.02, s"max resample error $maxErr")
+    // identity when rates match
+    assert(Codecs.resampleLinear(src, sr, sr) eq src)
+  }
+
   test("pcm16 rejects odd length; adpcm rejects header/length mismatch") {
     assert(Codecs.decode(Codecs.PcmS16le, Array[Byte](1, 2, 3)).isLeft)
     assert(Codecs.decode(Codecs.Adpcm4, Array[Byte](1, 2)).isLeft)
