@@ -44,6 +44,12 @@ object Main {
     val dec = FilterJob.readDecisions(spark, output)
     dec.groupBy("keep").count().collect()
       .foreach(r => println(s"[graft]   keep=${r.get(0)} -> ${r.getLong(1)}"))
+    // persist the per-partition lineage table (north-rule lineage clause;
+    // reference C4 intermediate-step lineage): cheap scalar aggregation of
+    // the committed output, one small parquet next to the data
+    FilterJob.lineageOf(spark, output).coalesce(1)
+      .write.mode("overwrite").parquet(s"$output/lineage")
+    println(s"[graft]   lineage -> $output/lineage")
     spark.stop()
   }
 
