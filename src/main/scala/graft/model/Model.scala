@@ -130,11 +130,30 @@ final case class FilterConfig(
     // than minBurst (opening, M2), bridge gaps shorter than maxGap (closing, M3)
     minBurstFrames: Int = 3,
     maxGapFrames: Int = 5,
+    // S10 analog: bound per-row analysis cost — audio features are computed
+    // on at most this many ms of decoded PCM (0 = analyze everything);
+    // metadata sanity (H4) always uses the full decoded length
+    maxAnalyzeMs: Int = 0,
     // scrub
     scrubEnabled: Boolean = true,
     // salted repartition: number of salt buckets
     saltBuckets: Int = 256
-)
+) {
+  // C3 analog (reference coerces/validates per step, e.g. odd kernel sizes,
+  // image_processing.py:1548-1552): fail fast on the driver, never in a task
+  require(minLangConf >= 0 && minLangConf <= 1, s"minLangConf $minLangConf")
+  require(maxPplChar > 0 && maxPplWord > 0, "ppl cutoffs must be positive")
+  require(minCharsPerSec >= 0 && maxCharsPerSec > minCharsPerSec, "H1 band invalid")
+  require(maxRepeatRun >= 1, s"maxRepeatRun $maxRepeatRun")
+  require(maxSymbolFrac >= 0 && maxSymbolFrac <= 1, s"maxSymbolFrac $maxSymbolFrac")
+  require(maxDurMismatch > 0, s"maxDurMismatch $maxDurMismatch")
+  require(maxSilenceFrac >= 0 && maxSilenceFrac <= 1, s"maxSilenceFrac $maxSilenceFrac")
+  require(maxClipFrac >= 0 && maxClipFrac <= 1, s"maxClipFrac $maxClipFrac")
+  require(frameMs >= 1 && frameMs <= 1000, s"frameMs $frameMs")
+  require(minBurstFrames >= 1 && maxGapFrames >= 0, "mask morphology params invalid")
+  require(maxAnalyzeMs >= 0, s"maxAnalyzeMs $maxAnalyzeMs")
+  require(saltBuckets >= 1, s"saltBuckets $saltBuckets")
+}
 
 /** Named presets (reference `config.py:61-220`: preset = defaults + overrides). */
 object Presets {

@@ -80,8 +80,16 @@ object FilterPipeline {
         val decoded = Codecs.decode(clip.codec, clip.bytes)
         val (ok, err, af, mismatch) = decoded match {
           case Right(pcm) =>
-            val f = Heuristics.audioFeatures(pcm, clip.sr_hz, cfg)
-            (true, "", f, Heuristics.durMismatch(f.n_samples, clip.sr_hz, clip.dur_ms))
+            // S10 analog: optionally bound feature extraction to a prefix;
+            // H4 metadata sanity always sees the true decoded length
+            val analyzed =
+              if (cfg.maxAnalyzeMs > 0) {
+                val cap = (clip.sr_hz.toLong * cfg.maxAnalyzeMs / 1000L).toInt
+                if (pcm.length > cap) java.util.Arrays.copyOf(pcm, cap) else pcm
+              } else pcm
+            val f0 = Heuristics.audioFeatures(analyzed, clip.sr_hz, cfg)
+            val f = f0.copy(n_samples = pcm.length)
+            (true, "", f, Heuristics.durMismatch(pcm.length, clip.sr_hz, clip.dur_ms))
           case Left(reason) =>
             counters.foreach(_.decodeErrors.add(1))
             (false, reason, AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0), 0.0)
