@@ -100,6 +100,7 @@ object Bench {
     }
     measure(spark, cpus, 3)
     spark.stop()
+    // scaling-critical sizes get more reps: steal episodes need outvoting
 
     // ---- phases 2-3: same job/input/JVM at cpus/4 and cpus/16 ------------
     // this host oversubscribes vCPUs (raw-CPU control: 64 sha256 units scale
@@ -111,7 +112,7 @@ object Bench {
     for (cores <- Seq(mid, low)) {
       spark = session(cores)
       countOnly(spark) // rewarm at new parallelism
-      measure(spark, cores, if (cores == low) 2 else 3)
+      measure(spark, cores, if (cores == low) 3 else 5)
       spark.stop()
     }
 

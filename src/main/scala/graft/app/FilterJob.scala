@@ -75,8 +75,10 @@ object FilterJob {
     val files = listDataFiles(spark, args.input)
 
     var done = committed0
+    val verbose = sys.env.contains("GRAFT_JOB_TIMING")
     (0 until args.chunks).foreach { c =>
       if (!done.contains(c)) {
+        val t0 = System.nanoTime()
         // round-robin file assignment → even chunk sizes
         val slice = files.zipWithIndex.collect { case (f, i) if i % args.chunks == c => f }
         val counters = new FilterPipeline.Counters(spark)
@@ -100,6 +102,8 @@ object FilterJob {
           "decode_errors" -> counters.decodeErrors.value,
           "scrubbed" -> counters.scrubbed.value
         ))
+        if (verbose)
+          println(f"[graft.job] chunk $c: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     val snap = SnapshotTable.currentSnapshot(args.output)

@@ -75,6 +75,16 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("cosine_sim is available from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s").collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    val r2 = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 1.0d), array(1.0d, 0.0d)) AS s").collect()
+    assert(math.abs(r2(0).getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
   test("embedding LSH near-dup pairs are a subset of brute-force pairs") {
     val rng = new graft.fixture.Prng(5)
     val vecs = (0 until 60).map { i =>
