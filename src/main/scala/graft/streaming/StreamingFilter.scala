@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.app.FilterJob
+import graft.model.FilterConfig
+import graft.pipeline.FilterPipeline
+import graft.text.TextModel
+
+/** Structured Streaming mode of the quality filter.
+  *
+  * The reference is strictly batch (SURVEY §2.10) and the north rule's
+  * resume story is snapshot commits; this module exists because the same
+  * narrow pipeline (`features` → `decide`) is stage-compatible with
+  * micro-batch execution unchanged — a `readStream` source swaps in for the
+  * scan, checkpointing supplies exactly-once file sinks, and the decision
+  * layer stays the identical Catalyst expression set. Useful when clips
+  * arrive continuously (e.g. an ingestion landing zone) rather than as a
+  * snapshotted table.
+  */
+object StreamingFilter {
+
+  /** Streaming decision frame over a directory where clip parquet files
+    * keep landing. Same columns as the batch `FilterPipeline.decisions`. */
+  def decisions(
+      spark: SparkSession,
+      inputDir: String,
+      cfg: FilterConfig,
+      model: Broadcast[TextModel]
+  ): DataFrame = {
+    import spark.implicits._
+    val clips = spark.readStream
+      .schema(FilterJob.clipSchema)
+      .parquet(inputDir)
+      .na.fill(Map("transcript" -> ""))
+      .as[graft.model.ClipRow]
+    val d = FilterPipeline.decide(
+      FilterPipeline.features(clips, cfg, model).toDF(), cfg)
+    d.select(col("clip_id"), col("keep"), col("drop_reasons"),
+      col("scrubbed_transcript"), col("lang"), col("lang_conf"),
+      col("ppl_char"), col("ppl_word"), col("codec"))
+  }
+
+  /** Continuous keep/drop telemetry: windowed per-language decision counts
+    * with a watermark (the streaming analog of the lineage rollup). Event
+    * time is the micro-batch arrival time (clips carry no timestamp). */
+  def decisionCounts(decisions: DataFrame, windowLen: String = "1 minute"): DataFrame =
+    decisions
+      .withColumn("arrival_ts", current_timestamp())
+      .withWatermark("arrival_ts", "2 minutes")
+      .groupBy(window(col("arrival_ts"), windowLen), col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n"))
+}

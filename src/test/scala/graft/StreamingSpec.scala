@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.fixture.{ClipGen, GenMain}
+import graft.model.Presets
+import graft.pipeline.FilterPipeline
+import graft.streaming.StreamingFilter
+import graft.text.TextModel
+
+/** Streaming mode produces the same decisions as batch over the same files. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("streaming decisions match batch decisions row for row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    val params = ClipGen.Params(120, seed = 21, maxDurMs = 1500)
+    GenMain.generate(spark, dir, params, files = 4)
+
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val stream = StreamingFilter.decisions(spark, dir, Presets.default, model)
+    assert(stream.isStreaming)
+
+    val q = stream.writeStream
+      .format("memory").queryName("stream_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_out")
+      .select("clip_id", "keep", "scrubbed_transcript")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+
+    val batch = FilterPipeline.decisions(
+        spark.range(120).map(i => ClipGen.row(i, params)), Presets.default, model)
+      .select("clip_id", "keep", "scrubbed_transcript")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+
+    assert(streamed.size == 120)
+    assert(streamed == batch)
+  }
+
+  test("windowed decision counts stream aggregates with a watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-in2").toString
+    GenMain.generate(spark, dir, ClipGen.Params(60, seed = 22, maxDurMs = 1200), files = 2)
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val counts = StreamingFilter.decisionCounts(
+      StreamingFilter.decisions(spark, dir, Presets.default, model))
+    val q = counts.writeStream
+      .format("memory").queryName("stream_counts")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-ckpt2").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("stream_counts").agg(sum("n")).collect()(0).getLong(0)
+    assert(n == 60, s"windowed counts covered $n of 60 rows")
+  }
+}
