@@ -32,13 +32,19 @@ object Dedup {
     * band hashes emitted per doc. Output: (id, band, band_hash). */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 32,
-                   rowsPerBand: Int = 4): DataFrame = {
+                   rowsPerBand: Int = 4): DataFrame =
+    minhashBandsFromShingles(
+      docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleK)).as("sh")),
+      numHashes, rowsPerBand)
+
+  /** As `minhashBands` but over a pre-built (id, sh) shingle frame. */
+  def minhashBandsFromShingles(shingleDf: DataFrame, numHashes: Int,
+                               rowsPerBand: Int): DataFrame = {
     // one row per (doc, shingle) with the full hash vector inline; the
     // signature is numHashes min-aggregates in a single shuffle — never a
     // per-(doc, hash-position) row explosion (32x fewer shuffle rows)
-    val sh = docs
-      .select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleK)).as("sh"))
+    val sh = shingleDf
       .withColumn("hs", transform(sequence(lit(0), lit(numHashes - 1)),
         i => xxhash64(i.cast("string"), col("sh"))))
     val minCols = (0 until numHashes).map(i =>
@@ -70,9 +76,15 @@ object Dedup {
     * |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
                     idCol: String, textCol: String, shingleK: Int = 5,
-                    minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleK)).as("sh"))
+                    minJaccard: Double = 0.5): DataFrame =
+    jaccardVerifyFromShingles(
+      docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleK)).as("sh")),
+      candidates, minJaccard)
+
+  /** As `jaccardVerify` but over a pre-built (id, sh) shingle frame. */
+  def jaccardVerifyFromShingles(sh: DataFrame, candidates: DataFrame,
+                                minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
@@ -88,13 +100,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash-LSH near-dup end to end: band → candidates → Jaccard verify. */
+  /** MinHash-LSH near-dup end to end: band → candidates → Jaccard verify.
+    * The exploded shingle frame feeds both the signature aggregation and the
+    * verify joins, so it is computed once and cached for the duration. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
-                   minJaccard: Double = 0.5): DataFrame =
-    jaccardVerify(docs,
-      lshCandidates(minhashBands(docs, idCol, textCol, shingleK, numHashes, rowsPerBand)),
-      idCol, textCol, shingleK, minJaccard)
+                   minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleK)).as("sh")).cache()
+    val bands = minhashBandsFromShingles(sh, numHashes, rowsPerBand)
+    jaccardVerifyFromShingles(sh, lshCandidates(bands), minJaccard)
+  }
 
   private val simhashUdf = udf((t: String) => TextSim.simhash64(if (t == null) "" else t))
   private val fingerprintUdf =
