@@ -57,10 +57,12 @@ object Bench {
         .iterator().asScala.foreach(Files.deleteIfExists)
   }
 
-  private def runJob(spark: SparkSession, clipsDir: String, out: String): Unit = {
-    wipe(out)
-    FilterJob.run(spark, FilterJob.JobArgs(clipsDir, out, chunks = 4, saltBuckets = 8))
-    ()
+  private def runJob(spark: SparkSession, clipsDir: String, out: String): Double = {
+    wipe(out) // outside the timed region
+    timed {
+      FilterJob.run(spark, FilterJob.JobArgs(clipsDir, out, chunks = 4, saltBuckets = 8))
+      ()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,7 +97,7 @@ object Bench {
       results(s"decode_score_n$cores") =
         (1 to runs).map(_ => timed(countOnly(s))).min
       pipe(cores) = (1 to runs).map(_ =>
-        timed(runJob(s, clipsDir, s"/tmp/graft_bench/out_$cores"))).min
+        runJob(s, clipsDir, s"/tmp/graft_bench/out_$cores")).min
       results(s"pipeline_n$cores") = pipe(cores)
     }
     measure(spark, cpus, 3)
@@ -112,7 +114,7 @@ object Bench {
     for (cores <- Seq(mid, low)) {
       spark = session(cores)
       countOnly(spark) // rewarm at new parallelism
-      measure(spark, cores, if (cores == low) 3 else 5)
+      measure(spark, cores, if (cores == low) 4 else 5)
       spark.stop()
     }
 

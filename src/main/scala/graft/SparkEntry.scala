@@ -257,7 +257,7 @@ object SparkEntry {
     "q_emb_neardup_lsh" -> ((s, dir) =>
       graft.pipeline.Dedup.embNearDupLsh(
           s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
-          minSim = 0.3, planes = 8)
+          dim = 64, minSim = 0.3, planes = 8)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
 

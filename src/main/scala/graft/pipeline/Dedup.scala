@@ -165,20 +165,22 @@ object Dedup {
   }
 
   /** Random-hyperplane LSH buckets for embeddings: `planes` sign bits from
-    * deterministic pseudo-random hyperplanes (hash-derived coefficients) —
-    * the scale path: pairs only meet within a bucket. */
+    * deterministic pseudo-random hyperplanes — the scale path: pairs only
+    * meet within a bucket. Coefficients are derived once on the driver and
+    * shipped as literal arrays (constant-folded into codegen), not
+    * recomputed per row. */
   def embLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-                    planes: Int = 12): DataFrame = {
+                    dim: Int, planes: Int = 12): DataFrame = {
     val e = emb.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-    // plane p coefficient for dim d = centered hash in [-0.5, 0.5)
     val signBits = (0 until planes).map { p =>
+      // plane p coefficient for dim d = centered splitmix hash in [-0.5, 0.5)
+      val coeffs = (0 until dim).map { d =>
+        val h = graft.fixture.Prng.derive(0x1A5B3CL, p.toLong, d.toLong).nextLong()
+        Math.floorMod(h, 1000000L) / 1000000.0 - 0.5
+      }
       val dotP = aggregate(
-        zip_with(col("v"),
-          transform(sequence(lit(0), size(col("v")) - 1),
-            d => (pmod(xxhash64(lit(p).cast("string"), d.cast("string")), lit(1000000L))
-              .cast(DoubleType) / 1000000.0) - 0.5),
-          (x, c) => x * c),
+        zip_with(col("v"), typedLit(coeffs), (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -187,8 +189,8 @@ object Dedup {
 
   /** LSH-bucketed embedding near-dup: exact cosine only within buckets. */
   def embNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
-                    minSim: Double = 0.95, planes: Int = 12): DataFrame = {
-    val buk = embLshBuckets(emb, idCol, vecCol, planes)
+                    dim: Int, minSim: Double = 0.95, planes: Int = 12): DataFrame = {
+    val buk = embLshBuckets(emb, idCol, vecCol, dim, planes)
     val a = buk.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = buk.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

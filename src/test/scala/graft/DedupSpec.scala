@@ -98,7 +98,8 @@ class DedupSpec extends AnyFunSuite {
     val df = (vecs ++ planted).toDF("vec_id", "embedding")
     val brute = Dedup.embNearDup(df, "vec_id", "embedding", minSim = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.embNearDupLsh(df, "vec_id", "embedding", minSim = 0.95, planes = 8)
+    val lsh = Dedup.embNearDupLsh(df, "vec_id", "embedding", dim = 16,
+      minSim = 0.95, planes = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.size >= 5, s"expected planted pairs, got $brute")
     assert(lsh.subsetOf(brute))
