@@ -42,7 +42,11 @@ object FilterJob {
       output: String,
       preset: String = "default",
       chunks: Int = 8,
-      saltBuckets: Int = 8
+      saltBuckets: Int = 8,
+      // >1 runs that many chunk jobs concurrently (Spark interleaves their
+      // stages, overlapping one chunk's write with another's decode);
+      // snapshot commits stay serialized, so resume semantics are unchanged
+      parallelChunks: Int = 2
   )
 
   def readClips(spark: SparkSession, paths: Seq[String]): Dataset[ClipRow] = {
@@ -74,37 +78,50 @@ object FilterJob {
     val committed0 = SnapshotTable.open(args.output, args.chunks)
     val files = listDataFiles(spark, args.input)
 
-    var done = committed0
     val verbose = sys.env.contains("GRAFT_JOB_TIMING")
-    (0 until args.chunks).foreach { c =>
-      if (!done.contains(c)) {
-        val t0 = System.nanoTime()
-        // round-robin file assignment → even chunk sizes
-        val slice = files.zipWithIndex.collect { case (f, i) if i % args.chunks == c => f }
-        val counters = new FilterPipeline.Counters(spark)
-        if (slice.nonEmpty) {
-          val clips = readClips(spark, slice)
-          val dec = FilterPipeline.decisions(clips, cfg, model, Some(counters))
-          // shuffle key = output partition columns + clip_id-hash salt: every
-          // writer task holds a handful of (keep, lang, salt) groups, so the
-          // file count stays ≈ |keep|·|lang|·salt per chunk instead of
-          // tasks × dirs, and the salt still spreads the 70%-language cohort
-          // over `saltBuckets` tasks (the skew clause)
-          val salted = dec.repartition(
-            col("keep"), col("lang"),
-            pmod(xxhash64(col("clip_id")), lit(args.saltBuckets)))
-          salted.write.mode("overwrite")
-            .partitionBy("keep", "lang")
-            .parquet(SnapshotTable.chunkDir(args.output, c))
-        }
+    val commitLock = new Object
+    def processChunk(c: Int): Unit = {
+      val t0 = System.nanoTime()
+      // round-robin file assignment → even chunk sizes
+      val slice = files.zipWithIndex.collect { case (f, i) if i % args.chunks == c => f }
+      val counters = new FilterPipeline.Counters(spark)
+      if (slice.nonEmpty) {
+        val clips = readClips(spark, slice)
+        val dec = FilterPipeline.decisions(clips, cfg, model, Some(counters))
+        // shuffle key = output partition columns + clip_id-hash salt: every
+        // writer task holds a handful of (keep, lang, salt) groups, so the
+        // file count stays ≈ |keep|·|lang|·salt per chunk instead of
+        // tasks × dirs, and the salt still spreads the 70%-language cohort
+        // over `saltBuckets` tasks (the skew clause)
+        val salted = dec.repartition(
+          col("keep"), col("lang"),
+          pmod(xxhash64(col("clip_id")), lit(args.saltBuckets)))
+        salted.write.mode("overwrite")
+          .partitionBy("keep", "lang")
+          .parquet(SnapshotTable.chunkDir(args.output, c))
+      }
+      // the metadata log is read-modify-write; serialize commits (chunk
+      // ORDER in the log is irrelevant — snapshots carry a chunk-id set)
+      commitLock.synchronized {
         SnapshotTable.commitChunk(args.output, c, args.chunks, Map(
           "rows" -> counters.rows.value,
           "decode_errors" -> counters.decodeErrors.value,
           "scrubbed" -> counters.scrubbed.value
         ))
-        if (verbose)
-          println(f"[graft.job] chunk $c: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      if (verbose)
+        println(f"[graft.job] chunk $c: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    val pending = (0 until args.chunks).filterNot(committed0.contains)
+    if (args.parallelChunks <= 1 || pending.size <= 1) pending.foreach(processChunk)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(args.parallelChunks)
+      try {
+        val futures = pending.map(c =>
+          pool.submit(new Runnable { def run(): Unit = processChunk(c) }))
+        futures.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
     }
     val snap = SnapshotTable.currentSnapshot(args.output)
     snap.map(_.counters).getOrElse(Map.empty)
