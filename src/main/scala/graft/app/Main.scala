@@ -21,7 +21,8 @@ object Main {
       output = output,
       preset = a.getOrElse("preset", "default"),
       chunks = a.getOrElse("chunks", "8").toInt,
-      saltBuckets = a.getOrElse("salt", "8").toInt
+      saltBuckets = a.getOrElse("salt", "8").toInt,
+      parallelChunks = a.getOrElse("parallel", "2").toInt
     )
 
     val builder = SparkSession.builder().appName("graft-filter")
