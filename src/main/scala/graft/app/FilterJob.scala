@@ -127,11 +127,15 @@ object FilterJob {
     snap.map(_.counters).getOrElse(Map.empty)
   }
 
-  /** Snapshot-pinned read of the committed decision table. */
+  /** Snapshot-pinned read of the committed decision table. Partition-column
+    * type inference never yields booleans, so `keep` (a partition dir) comes
+    * back as string — cast the partition columns to their logical types. */
   def readDecisions(spark: SparkSession, table: String): DataFrame = {
     val dirs = SnapshotTable.committedDataDirs(table)
     require(dirs.nonEmpty, s"no committed snapshot at $table")
     spark.read.option("basePath", table + "/data").parquet(dirs: _*)
+      .withColumn("keep", col("keep").cast("boolean"))
+      .withColumn("chunk", col("chunk").cast("int"))
   }
 
   /** Per-partition lineage table of the committed output (reference C4/G12
