@@ -56,7 +56,12 @@ object FilterJob {
       .as[ClipRow]
   }
 
-  /** List input parquet data files, deterministically ordered. */
+  /** List input parquet data files, deterministically ordered.
+    *
+    * If the input is itself a snapshot table (has `metadata/current`), the
+    * listing is PINNED to the committed snapshot's data dirs — files landing
+    * after the job starts are invisible, so a resumed run sees exactly the
+    * same input as the original (the Iceberg snapshot-read semantic). */
   def listDataFiles(spark: SparkSession, input: String): Seq[String] = {
     val fs = FileSystem.get(new HPath(input).toUri, spark.sparkContext.hadoopConfiguration)
     def walk(p: HPath): Seq[String] = {
@@ -67,7 +72,11 @@ object FilterJob {
         else Nil
       }
     }
-    walk(new HPath(input)).sorted
+    val roots = graft.table.SnapshotTable.currentSnapshot(input) match {
+      case Some(_) => graft.table.SnapshotTable.committedDataDirs(input)
+      case None    => Seq(input)
+    }
+    roots.flatMap(r => walk(new HPath(r))).sorted
   }
 
   /** Run (or resume) the job; returns the final counters. */

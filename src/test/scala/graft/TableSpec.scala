@@ -76,6 +76,24 @@ class TableSpec extends AnyFunSuite {
     assert(a.sameElements(b), "resumed table content differs from uninterrupted run")
   }
 
+  test("input listing is pinned to the committed snapshot (Iceberg-read semantic)") {
+    val spark = SparkTestBase.spark
+    val input = tmpDir("graft-in3")
+    GenMain.generate(spark, input, ClipGen.Params(40, seed = 13, maxDurMs = 1200), files = 2)
+    val out = tmpDir("graft-out3") + "/t"
+    FilterJob.run(spark, FilterJob.JobArgs(input, out, chunks = 2, saltBuckets = 4))
+    val pinned = FilterJob.listDataFiles(spark, out)
+    // a file landing in an UNCOMMITTED chunk dir must be invisible
+    val rogue = Paths.get(SnapshotTable.chunkDir(out, 9))
+    Files.createDirectories(rogue)
+    val src = Paths.get(pinned.head.stripPrefix("file:"))
+    Files.copy(src, rogue.resolve("rogue.parquet"))
+    val after = FilterJob.listDataFiles(spark, out)
+    assert(after == pinned, "uncommitted data leaked into a pinned read")
+    // a plain directory input lists everything
+    assert(FilterJob.listDataFiles(spark, input).size == 2)
+  }
+
   test("decision table partition layout prunes on keep/lang") {
     val spark = SparkTestBase.spark
     val input = tmpDir("graft-in2")
