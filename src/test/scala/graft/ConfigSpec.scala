@@ -22,6 +22,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(Presets.lenient.maxSymbolFrac > Presets.default.maxSymbolFrac)
   }
 
+  test("driver contract: entry() returns rows; every oracleSql key has a query") {
+    assert(SparkEntry.entry(SparkTestBase.spark).count() > 0)
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
   test("H1/H4 boundary behavior") {
     assert(Heuristics.charsPerSec("abcd", 1000) == 4.0)
     assert(Heuristics.charsPerSec("abcd", 0) == 0.0)
