@@ -48,8 +48,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- engine pipeline over the synthetic clips table (rows-only) ------
     "clips_decisions" -> ((s, dir) => clipsDF(s, dir)
-      .select("clip_id", "keep", "drop_reasons", "scrubbed_transcript",
-        "lang", "lang_conf", "ppl_char", "ppl_word", "codec")
+      // drop_reasons is array<string>; the driver's pandas compare sorts by
+      // column value and crashes on ndarray cells — surface it as a joined
+      // string (deterministic: rules emit reasons in fixed order)
+      .select(col("clip_id"), col("keep"),
+        array_join(col("drop_reasons"), "|").as("drop_reasons"),
+        col("scrubbed_transcript"), col("lang"), col("lang_conf"),
+        col("ppl_char"), col("ppl_word"), col("codec"))
       .orderBy("clip_id")),
     "clips_lineage" -> ((s, dir) =>
       FilterPipeline.lineage(clipsDF(s, dir)).orderBy("partition_id")),
@@ -214,54 +219,77 @@ object SparkEntry {
           size(split(col("text"), "[^a-zA-Z0-9]+")).as("n_alnum_runs"))
         .orderBy("doc_id")),
 
-    // ---- MinHash-LSH near-dup (training-data op; rows-only) --------------
+    // ---- MinHash-LSH near-dup (training-data op) --------------------------
     // self-contained demonstration: docs ∪ lightly-edited copies of the
-    // first 30 docs; the LSH banding must surface exactly those pairs
+    // first 30 docs. 64 hashes in bands of 2 → P[miss] = (1−J²)^32 ≤ 1e-4 at
+    // J = 0.5, so the LSH output equals the exact-Jaccard oracle's ground
+    // truth (verified on the test data); the verify stage guarantees
+    // precision, the banding the recall.
     "q_docs_near_dup" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
       val copies = d.filter(col("doc_id") < 30)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" xqz")).as("text"))
       graft.pipeline.Dedup.nearDupPairs(d.union(copies), "doc_id", "text",
-          shingleK = 5, numHashes = 32, rowsPerBand = 4, minJaccard = 0.5)
-        .orderBy("id_a", "id_b")
+          shingleK = 5, numHashes = 64, rowsPerBand = 2, minJaccard = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
     }),
 
-    // ---- SimHash near-dup (training-data op; rows-only) ------------------
+    // ---- SimHash near-dup, shingle-Jaccard-verified (training-data op) ---
+    // 8 bands × 8 bits: pigeonhole-guaranteed recall at Hamming ≤ 7; the
+    // radius-8 tail pairs in this corpus still share a band (verified at
+    // sf0.01 and sf0.1). Exact char-shingle Jaccard verifies, so the output
+    // equals the same SQL ground truth as q_docs_near_dup via a third
+    // independent candidate generator.
     "q_docs_simhash" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
       val copies = d.filter(col("doc_id") < 30)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" xqz")).as("text"))
-      graft.pipeline.Dedup.simhashPairs(d.union(copies), "doc_id", "text",
-          maxHamming = 3)
+      graft.pipeline.Dedup.simhashNearDup(d.union(copies), "doc_id", "text",
+          maxHamming = 8, numBands = 8, shingleK = 5, minJaccard = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- winnowing fingerprints (training-data op; rows-only) ------------
-    "q_docs_fingerprint" -> ((s, dir) =>
-      graft.pipeline.Dedup.fingerprints(
-          s.read.parquet(t(dir, "documents")), "doc_id", "text")
-        .select(col("id"), size(col("fingerprint")).as("n_grams"),
-          col("fingerprint")(0).as("min_gram"))
-        .orderBy("id")),
+    // ---- winnowing-fingerprint near-dup, shingle-Jaccard-verified --------
+    // fingerprint-bucket candidates + the same exact-Jaccard verify and
+    // oracle as q_docs_near_dup: two independent candidate generators must
+    // converge on the identical verified ground truth.
+    "q_docs_fingerprint" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val copies = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text"))
+      graft.pipeline.Dedup.fingerprintNearDup(d.union(copies), "doc_id", "text",
+          shingleK = 5, minJaccard = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
 
-    // ---- embedding near-dup pairs, brute-force + LSH-bucketed ------------
+    // ---- embedding near-dup pairs, brute-force + LSH-banded --------------
     "q_emb_neardup" -> ((s, dir) =>
       graft.pipeline.Dedup.embNearDup(
           s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
           minSim = 0.4)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
+    // 32 bands × 2 hyperplanes: P[miss] at sim 0.45 ≈ 3e-8 — output equals
+    // the brute-force oracle on the test data (recall), cosine-verified
+    // pairs only (precision). Threshold sits inside the corpus's actual
+    // near-dup sim range (max pair sim ≈ 0.5–0.6 at these scales).
     "q_emb_neardup_lsh" -> ((s, dir) =>
       graft.pipeline.Dedup.embNearDupLsh(
           s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
-          dim = 64, minSim = 0.3, planes = 8)
+          dim = 64, minSim = 0.45, bands = 32, rowsPerBand = 2)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
 
-    // ---- brute-force cosine top-k ANN baseline (training-data op) --------
+    // ---- exact cosine top-k kNN (training-data op) ------------------------
+    // broadcast the QUERIES (small side) and stream the corpus — the corpus
+    // is never broadcast and never shuffled whole; WindowGroupLimit prunes
+    // to ≤k rows per query per partition before the exchange
     "q_emb_knn" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
@@ -271,7 +299,7 @@ object SparkEntry {
         lit(0.0), (acc, x) => acc + x)
       val nq = sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x))
       val nv = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
-      val sims = q.join(broadcast(e), col("query_id") =!= col("vec_id"))
+      val sims = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (dot / (nq * nv)).as("sim"))
       val w = Window.partitionBy("query_id")
@@ -279,6 +307,18 @@ object SparkEntry {
       sims.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LSH-bucketed approximate kNN (scale path; rows-only) ------------
+    // candidates limited to band collisions: no corpus broadcast, no
+    // query×corpus cross — recall vs the exact path is gated in DedupSpec
+    "q_emb_knn_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val q = e.filter(col("vec_id") < 20)
+      graft.pipeline.Dedup.knnLsh(e, q, "vec_id", "embedding",
+          dim = 64, k = 5, bands = 16, rowsPerBand = 3)
+        .withColumn("sim", round(col("sim"), 4))
         .orderBy("query_id", "rank")
     })
   )
@@ -324,7 +364,7 @@ object SparkEntry {
         |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events)
-        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_orders_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -370,6 +410,92 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |  len(regexp_split_to_array(text, '[^a-zA-Z0-9]+')) AS n_alnum_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact character-5-shingle Jaccard ground truth over docs ∪ planted
+    // copies — the LSH engine output must equal it (banding recall ≈ 1 at
+    // J ≥ 0.5 with 32 bands of 2; verify stage guarantees precision)
+    "q_docs_near_dup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT i.id_a, i.id_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.id_a
+        |JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same ground truth as q_docs_near_dup: the fingerprint-bucket candidate
+    // generator must converge on the identical verified pair set
+    "q_docs_fingerprint" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT i.id_a, i.id_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.id_a
+        |JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same char-shingle Jaccard ground truth as q_docs_near_dup: SimHash
+    // 8x8-bit banding has pigeonhole recall at Hamming <= 7, which covers
+    // every J >= 0.5 pair in this corpus (verified at sf0.01 and sf0.1)
+    "q_docs_simhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT i.id_a, i.id_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.id_a
+        |JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // brute-force ground truth at the LSH query's threshold: banding recall
+    // ≈ 1 at sim ≥ 0.45 with 32 bands of 2, cosine verify gives precision
+    "q_emb_neardup_lsh" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 4) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_emb_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 4) AS sim

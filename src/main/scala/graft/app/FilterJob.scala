@@ -61,22 +61,40 @@ object FilterJob {
     * If the input is itself a snapshot table (has `metadata/current`), the
     * listing is PINNED to the committed snapshot's data dirs — files landing
     * after the job starts are invisible, so a resumed run sees exactly the
-    * same input as the original (the Iceberg snapshot-read semantic). */
-  def listDataFiles(spark: SparkSession, input: String): Seq[String] = {
+    * same input as the original (the Iceberg snapshot-read semantic).
+    *
+    * The walk is a level-synchronized parallel BFS on a small driver pool:
+    * at 10^9-file scale a serial recursive listing is the last driver-side
+    * bottleneck; directories at each depth are listed concurrently. */
+  def listDataFiles(spark: SparkSession, input: String,
+                    listParallelism: Int = 16): Seq[String] = {
     val fs = FileSystem.get(new HPath(input).toUri, spark.sparkContext.hadoopConfiguration)
-    def walk(p: HPath): Seq[String] = {
-      val st = fs.listStatus(p).toSeq
-      st.flatMap { s =>
-        if (s.isDirectory) walk(s.getPath)
-        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath.toString)
-        else Nil
-      }
-    }
     val roots = graft.table.SnapshotTable.currentSnapshot(input) match {
       case Some(_) => graft.table.SnapshotTable.committedDataDirs(input)
       case None    => Seq(input)
     }
-    roots.flatMap(r => walk(new HPath(r))).sorted
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(listParallelism)
+    try {
+      val files = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      var frontier: Seq[HPath] = roots.map(new HPath(_))
+      while (frontier.nonEmpty) {
+        val futures = frontier.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Seq[HPath]] {
+            def call(): Seq[HPath] = {
+              val st = fs.listStatus(p)
+              st.foreach { s =>
+                if (!s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+                  files.add(s.getPath.toString)
+              }
+              st.collect { case s if s.isDirectory => s.getPath }.toSeq
+            }
+          })
+        }
+        frontier = futures.flatMap(_.get())
+      }
+      import scala.jdk.CollectionConverters._
+      files.asScala.toSeq.sorted
+    } finally pool.shutdown()
   }
 
   /** Run (or resume) the job; returns the final counters. */
@@ -85,7 +103,16 @@ object FilterJob {
     val cfg = cfgOverride.getOrElse(graft.model.Presets(args.preset))
     val model = spark.sparkContext.broadcast(TextModel.default)
     val committed0 = SnapshotTable.open(args.output, args.chunks)
-    val files = listDataFiles(spark, args.input)
+    // Resume pins the input to the manifest the FIRST run planned: for
+    // plain-directory inputs, files added between a kill and the rerun would
+    // otherwise reshuffle the round-robin chunk slices — committed chunks
+    // would keep old slices while new chunks used new ones (silent dups /
+    // omissions). First run writes the manifest before any chunk commits.
+    val files = SnapshotTable.readManifest(args.output).getOrElse {
+      val listed = listDataFiles(spark, args.input)
+      SnapshotTable.writeManifest(args.output, listed)
+      listed
+    }
 
     val verbose = sys.env.contains("GRAFT_JOB_TIMING")
     val commitLock = new Object
@@ -96,7 +123,8 @@ object FilterJob {
       val counters = new FilterPipeline.Counters(spark)
       if (slice.nonEmpty) {
         val clips = readClips(spark, slice)
-        val dec = FilterPipeline.decisions(clips, cfg, model, Some(counters))
+        val (dec, release) =
+          FilterPipeline.decisionsManaged(clips, cfg, model, Some(counters))
         // shuffle key = output partition columns + clip_id-hash salt: every
         // writer task holds a handful of (keep, lang, salt) groups, so the
         // file count stays ≈ |keep|·|lang|·salt per chunk instead of
@@ -108,6 +136,9 @@ object FilterJob {
         salted.write.mode("overwrite")
           .partitionBy("keep", "lang")
           .parquet(SnapshotTable.chunkDir(args.output, c))
+        // adaptive mode persisted the chunk's features (two scans: cohort
+        // stats + decisions); the write action consumed both — release it
+        release()
       }
       // the metadata log is read-modify-write; serialize commits (chunk
       // ORDER in the log is irrelevant — snapshots carry a chunk-id set)
@@ -130,6 +161,13 @@ object FilterJob {
         val futures = pending.map(c =>
           pool.submit(new Runnable { def run(): Unit = processChunk(c) }))
         futures.foreach(_.get()) // propagate the first failure
+      } catch {
+        case e: Throwable =>
+          // don't let still-running chunks keep committing snapshots after
+          // run() has already reported failure to the caller
+          pool.shutdownNow()
+          pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+          throw e
       } finally pool.shutdown()
     }
     val snap = SnapshotTable.currentSnapshot(args.output)

@@ -39,6 +39,7 @@ object ClipGen {
     val FlatRange     = "flat_range"      // 2%
     val Pii           = "pii"             // 4%  (kept, scrubbed)
     val EmptyText     = "empty_text"      // 3%
+    val PaddedSilence = "padded_silence"  // 3%  (kept — M9 edge trim rescues)
   }
 
   private val defectCdf: IndexedSeq[(Double, String)] = {
@@ -47,7 +48,9 @@ object ClipGen {
       Defect.Repetition -> 0.03, Defect.SymbolHeavy -> 0.02,
       Defect.DurMismatch -> 0.02, Defect.NearSilence -> 0.05,
       Defect.Clipped -> 0.03, Defect.FlatRange -> 0.02, Defect.Pii -> 0.04,
-      Defect.EmptyText -> 0.03)
+      Defect.EmptyText -> 0.03,
+      // appended last so earlier classes' draw ranges are unchanged
+      Defect.PaddedSilence -> 0.03)
     var acc = 0.0
     probs.map { case (d, p) => acc += p; (acc, d) }
   }
@@ -210,10 +213,25 @@ object ClipGen {
     // log-uniform duration
     val lnLo = math.log(params.minDurMs.toDouble)
     val lnHi = math.log(params.maxDurMs.toDouble)
-    val trueDurMs = math.exp(lnLo + rng.nextDouble() * (lnHi - lnLo)).toInt.max(params.minDurMs)
+    val durDraw = math.exp(lnLo + rng.nextDouble() * (lnHi - lnLo)).toInt.max(params.minDurMs)
+    // padded rows need a speech span of several frames after 95% padding
+    val trueDurMs = if (defect == Defect.PaddedSilence) durDraw.max(8000) else durDraw
     val nSamples = (srHz.toLong * trueDurMs / 1000L).toInt
 
-    val wave = synthWave(rng, nSamples, srHz, defect)
+    val wave = defect match {
+      case Defect.PaddedSilence =>
+        // keepable speech confined to a short interior span with true-silence
+        // edge padding: > 90% silent untrimmed (would trip H5), normal once
+        // the M9 edge trim strips the pads
+        val lead = (nSamples * 0.50).toInt
+        val tail = (nSamples * 0.45).toInt
+        val act = math.max(1, nSamples - lead - tail)
+        val inner = synthWave(rng, act, srHz, Defect.None)
+        val out = new Array[Short](nSamples)
+        System.arraycopy(inner, 0, out, lead, act)
+        out
+      case _ => synthWave(rng, nSamples, srHz, defect)
+    }
     val encoded = Codecs.encode(codec, wave)
     val bytes = defect match {
       case Defect.BadBytes =>

@@ -17,7 +17,7 @@ object TextSim {
     h
   }
 
-  @inline private def mix64(z0: Long): Long = {
+  @inline def mix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 33)) * 0xFF51AFD7ED558CCDL
     z = (z ^ (z >>> 33)) * 0xC4CEB9FE1A85EC53L

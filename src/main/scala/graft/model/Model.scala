@@ -70,6 +70,12 @@ final case class DecisionRow(
 
 final case class ScrubHit(rule: String, count: Int)
 
+/** One word token with its log-probability under the scoring LM (SURVEY O6:
+  * reference word boxes + per-word confidence, `ocr_engine.py:382-432`,
+  * recast as a per-token surprisal vector). Debug column, sampled per
+  * `FilterConfig.tokenScoresFrac`; `exp(−mean(logp)) == ppl_word`. */
+final case class TokenScore(token: String, logp: Double)
+
 /** Stable drop-reason codes (reference analog: structured error taxonomy,
   * `Backend/app.py:429-461`, `ocr_engine.py:373-380` — errors are data). */
 object Reason {
@@ -105,10 +111,15 @@ final case class FilterConfig(
     maxPplChar: Double = 25.0,
     maxPplWord: Double = 100000.0,
     adaptivePpl: Boolean = false,
-    // adaptive cutoff = mean + k·std per cohort (Niblack form, SURVEY T5 —
-    // the Sauvola std/R normalization assumes pixel-range stats and inverts
-    // on PPL-scale values)
+    // adaptive cutoff method: "niblack" = mean + k·std per cohort (SURVEY
+    // T5); "sauvola" = m·(1 + k·(s/R − 1)) on min-max-normalized cohort
+    // scores (SURVEY T4 — the pixel-range form inverts on raw PPL values,
+    // so scores are normalized to [0,1] first and k < 0 flips polarity:
+    // good rows are LOW-ppl, the dual of Sauvola's dark-text convention)
+    adaptiveMethod: String = "niblack",
     niblackK: Double = 2.0,
+    sauvolaK: Double = -0.5,
+    sauvolaR: Double = 0.5,
     // H1 length ratio: transcript chars per second of audio
     minCharsPerSec: Double = 2.0,
     maxCharsPerSec: Double = 60.0,
@@ -126,6 +137,19 @@ final case class FilterConfig(
     // audio framing
     frameMs: Int = 20,
     silenceFloorDb: Double = -35.0,
+    // P21 analog: resample decoded PCM to a common reference grid before
+    // feature extraction, so clips at different sr_hz are scored on
+    // comparable frames (reference resize-before-compare,
+    // ai_processor.py:69-76). 0 = analyze at the native rate.
+    referenceHz: Int = 16000,
+    // M9 analog: trim leading/trailing silence before feature extraction
+    // (reference border/artifact removal, image_processing.py:211-362) —
+    // edge padding is an artifact to remove, not a reason to drop; interior
+    // silence still counts toward the H5 silence rule
+    trimSilence: Boolean = true,
+    // O6 analog: emit per-token surprisal vectors for this fraction of rows
+    // (deterministic clip_id hash sampling; 0 = off)
+    tokenScoresFrac: Double = 0.0,
     // morphological repair of the speech mask (frames): drop bursts shorter
     // than minBurst (opening, M2), bridge gaps shorter than maxGap (closing, M3)
     minBurstFrames: Int = 3,
@@ -150,6 +174,10 @@ final case class FilterConfig(
   require(maxSilenceFrac >= 0 && maxSilenceFrac <= 1, s"maxSilenceFrac $maxSilenceFrac")
   require(maxClipFrac >= 0 && maxClipFrac <= 1, s"maxClipFrac $maxClipFrac")
   require(frameMs >= 1 && frameMs <= 1000, s"frameMs $frameMs")
+  require(referenceHz >= 0, s"referenceHz $referenceHz")
+  require(tokenScoresFrac >= 0 && tokenScoresFrac <= 1, s"tokenScoresFrac $tokenScoresFrac")
+  require(Set("niblack", "sauvola").contains(adaptiveMethod), s"adaptiveMethod $adaptiveMethod")
+  require(sauvolaR > 0, s"sauvolaR $sauvolaR")
   require(minBurstFrames >= 1 && maxGapFrames >= 0, "mask morphology params invalid")
   require(maxAnalyzeMs >= 0, s"maxAnalyzeMs $maxAnalyzeMs")
   require(saltBuckets >= 1, s"saltBuckets $saltBuckets")
@@ -165,9 +193,13 @@ object Presets {
     minLangConf = 0.40, maxPplChar = 60.0, maxSymbolFrac = 0.50,
     maxSilenceFrac = 0.98, minDynRangeDb = 0.5, maxRepeatRun = 8)
   val adaptive: FilterConfig = default.copy(adaptivePpl = true)
+  val adaptiveSauvola: FilterConfig =
+    default.copy(adaptivePpl = true, adaptiveMethod = "sauvola")
+  val debug: FilterConfig = default.copy(tokenScoresFrac = 0.05)
   val byName: Map[String, FilterConfig] = Map(
     "default" -> default, "premium" -> default, "strict" -> strict,
-    "lenient" -> lenient, "adaptive" -> adaptive)
+    "lenient" -> lenient, "adaptive" -> adaptive,
+    "adaptive-sauvola" -> adaptiveSauvola, "debug" -> debug)
   /** Alias-tolerant lookup (reference `app.py:128-150`). */
   def apply(name: String): FilterConfig =
     byName.getOrElse(name.trim.toLowerCase, default)

@@ -2,14 +2,26 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CosineSim, TextSim}
+import graft.functions.{CosineSim, HyperplaneBands, MinHashSig, TextSim}
 
 /** Large-scale deduplication & similarity operators for training-data
-  * pipelines. All shapes are the standard distributed formulations: shuffles
-  * only on (id)- or (bucket)-keyed aggregations, candidate generation via
-  * LSH banding so the pairwise work is bucket-local, never all-pairs.
+  * pipelines. All shapes are the standard distributed formulations:
+  *
+  *  - signatures (MinHash / SimHash / hyperplane sign bits) are pure per-row
+  *    column expressions — NO shuffle, no row explosion, computed inside the
+  *    scan stage;
+  *  - candidate generation is an LSH band-bucket equi-join, so pairwise work
+  *    is bucket-local and the all-pairs blowup never materializes;
+  *  - verification attaches per-doc shingle/token arrays to the (small)
+  *    candidate set with plain equi-joins and computes exact overlap with a
+  *    single `array_intersect` expression — one codegen'd stage, no cache.
+  *
+  * Recall of the banded schemes is OR-amplified: a pair is a candidate if ANY
+  * band matches (P[miss] = (1−s^r)^b for MinHash; (1−(1−θ/π)^r)^b for
+  * hyperplane LSH) — tune (b, r) per threshold; defaults target ≥0.999
+  * recall at the documented thresholds.
   */
 object Dedup {
 
@@ -26,40 +38,20 @@ object Dedup {
       sequence(lit(0), greatest(length(textCol) - k, lit(0))),
       i => substring(textCol, lit(1) + i, lit(k))))
 
-  /** MinHash signatures → LSH band keys.
-    * numHashes independent hash families via seed-prefixed xxhash64;
-    * elementwise-min aggregated per doc; `bandsPerDoc = numHashes / rowsPerBand`
-    * band hashes emitted per doc. Output: (id, band, band_hash). */
-  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 5, numHashes: Int = 32,
-                   rowsPerBand: Int = 4): DataFrame =
-    minhashBandsFromShingles(
-      docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleK)).as("sh")),
-      numHashes, rowsPerBand)
+  /** Lowercased alphanumeric word set of a text column (distinct, non-empty).
+    * Mirrors the DuckDB-side `regexp_split_to_array(lower(text),
+    * '[^a-z0-9]+')` so verified pair outputs are oracle-comparable. */
+  def wordSet(textCol: Column): Column =
+    array_distinct(filter(split(lower(textCol), "[^a-z0-9]+"), w => w =!= ""))
 
-  /** As `minhashBands` but over a pre-built (id, sh) shingle frame. */
-  def minhashBandsFromShingles(shingleDf: DataFrame, numHashes: Int,
-                               rowsPerBand: Int): DataFrame = {
-    // one row per (doc, shingle) with the full hash vector inline; the
-    // signature is numHashes min-aggregates in a single shuffle — never a
-    // per-(doc, hash-position) row explosion (32x fewer shuffle rows)
-    val sh = shingleDf
-      .withColumn("hs", transform(sequence(lit(0), lit(numHashes - 1)),
-        i => xxhash64(i.cast("string"), col("sh"))))
-    val minCols = (0 until numHashes).map(i =>
-      min(element_at(col("hs"), i + 1)).as(s"mh$i"))
-    val sig = sh.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-    val nBands = numHashes / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"mh$i").cast("string")): _*)).as("band_hash"))
-    }
-    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-  }
+  /** LSH band keys from a MinHash signature: `numHashes / rowsPerBand`
+    * (band, band_hash) structs per row. */
+  def minhashBandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
+      b => struct(b.cast("int").as("band"),
+        xxhash64(array_join(
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ",")).as("band_hash")))
 
   /** LSH candidate pairs (id_a < id_b) from shared band buckets. The join
     * is bucket-local: keyed on (band, band_hash), so only colliding docs
@@ -72,44 +64,37 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact n-gram Jaccard verification of candidate pairs:
-    * |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. */
-  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
-                    idCol: String, textCol: String, shingleK: Int = 5,
-                    minJaccard: Double = 0.5): DataFrame =
-    jaccardVerifyFromShingles(
-      docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleK)).as("sh")),
-      candidates, minJaccard)
-
-  /** As `jaccardVerify` but over a pre-built (id, sh) shingle frame. */
-  def jaccardVerifyFromShingles(sh: DataFrame, candidates: DataFrame,
-                                minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - col("n_inter")))
+  /** Exact Jaccard verification of candidate pairs against a per-doc
+    * (id, arr) set frame: two equi-joins attach the arrays to the candidate
+    * set, one `array_intersect` computes |A∩B|, |A∪B| = |A|+|B|−|A∩B|.
+    * Single codegen'd stage after the joins — replaces the round-1 four-join
+    * exploded-shingle plan (and its cache). */
+  def jaccardVerifyArrays(sets: DataFrame, candidates: DataFrame,
+                          minJaccard: Double): DataFrame =
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("arr").as("arr_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("arr").as("arr_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) /
+        (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-  }
 
-  /** MinHash-LSH near-dup end to end: band → candidates → Jaccard verify.
-    * The exploded shingle frame feeds both the signature aggregation and the
-    * verify joins, so it is computed once and cached for the duration. */
+  /** MinHash-LSH near-dup end to end: native per-row signature (`MinHashSig`
+    * codegen'd expression — no shuffle, no row explosion) → band-bucket
+    * candidates → single-expression Jaccard verify. Default (64 hashes,
+    * bands of 2) gives P[miss] = (1−J²)^32 ≤ 1e-4 at J = 0.5. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
+                   shingleK: Int = 5, numHashes: Int = 64, rowsPerBand: Int = 2,
                    minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleK)).as("sh")).cache()
-    val bands = minhashBandsFromShingles(sh, numHashes, rowsPerBand)
-    jaccardVerifyFromShingles(sh, lshCandidates(bands), minJaccard)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val bands = base.select(col("id"),
+        explode(minhashBandKeys(
+          MinHashSig.col(col("txt"), shingleK, numHashes),
+          numHashes, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
+    jaccardVerifyArrays(sets, lshCandidates(bands), minJaccard)
   }
 
   private val simhashUdf = udf((t: String) => TextSim.simhash64(if (t == null) "" else t))
@@ -121,16 +106,23 @@ object Dedup {
     docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming`, candidate-limited by
-    * 16-bit band collisions (4 bands of a 64-bit fingerprint — any pair
-    * within Hamming ≤ 3 of each other must share ≥ 1 exact band). */
+    * band collisions over `numBands` equal slices of the 64-bit fingerprint.
+    * Pigeonhole: any pair within Hamming ≤ numBands−1 of each other must
+    * share ≥ 1 exact band, so recall is GUARANTEED when
+    * maxHamming < numBands (4 bands × 16 bits covers ham ≤ 3; 8 × 8 covers
+    * ham ≤ 7). Wider bands → fewer candidate collisions; pick the narrowest
+    * band that still covers the wanted radius. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+    require(64 % numBands == 0, s"numBands $numBands must divide 64")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = simhash(docs, idCol, textCol)
     val banded = sh.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+          shiftrightunsigned(col("simhash"), b * width)
+            .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
@@ -143,9 +135,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash candidates verified by exact char-shingle Jaccard: the output
+    * is independently checkable against the same SQL-expressible ground
+    * truth as `nearDupPairs`, while candidate generation stays sub-quadratic
+    * SimHash banding. With maxHamming < numBands, recall over the verified
+    * radius is pigeonhole-guaranteed for pairs inside the Hamming ball. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 7, numBands: Int = 8,
+                     shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("arr"))
+    jaccardVerifyArrays(sets,
+      simhashPairs(docs, idCol, textCol, maxHamming, numBands)
+        .select("id_a", "id_b"),
+      minJaccard)
+  }
+
   /** Winnowing fingerprints per doc (rolling-hash k-grams, window minima). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), fingerprintUdf(col(textCol)).as("fingerprint"))
+
+  /** Fingerprint-bucket candidates (docs sharing ≥1 winnowing fingerprint)
+    * verified by exact char-shingle Jaccard — same verify contract as
+    * `nearDupPairs`, different (cheaper, coarser) candidate generator. */
+  def fingerprintNearDup(docs: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol)
+      .select(col("id"), explode(col("fingerprint")).as("gram"))
+    val a = fp.select(col("gram"), col("id").as("id_a"))
+    val b = fp.select(col("gram"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("arr"))
+    jaccardVerifyArrays(sets, cands, minJaccard)
+  }
 
   // ---- embeddings ----------------------------------------------------------
 
@@ -164,38 +188,73 @@ object Dedup {
       .select("id_a", "id_b", "sim")
   }
 
-  /** Random-hyperplane LSH buckets for embeddings: `planes` sign bits from
-    * deterministic pseudo-random hyperplanes — the scale path: pairs only
-    * meet within a bucket. Coefficients are derived once on the driver and
-    * shipped as literal arrays (constant-folded into codegen), not
-    * recomputed per row. */
-  def embLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-                    dim: Int, planes: Int = 12): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
+  private def normalizedVecs(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-    val signBits = (0 until planes).map { p =>
-      // plane p coefficient for dim d = centered splitmix hash in [-0.5, 0.5)
-      val coeffs = (0 until dim).map { d =>
-        val h = graft.fixture.Prng.derive(0x1A5B3CL, p.toLong, d.toLong).nextLong()
-        Math.floorMod(h, 1000000L) / 1000000.0 - 0.5
-      }
-      val dotP = aggregate(
-        zip_with(col("v"), typedLit(coeffs), (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    e.withColumn("bucket", signBits.reduce(_ + _))
+
+  /** Banded random-hyperplane LSH keys: `bands` (band, key) rows per vector,
+    * each key the sign pattern of that band's `rowsPerBand` hyperplanes.
+    * A pair is a candidate if ANY band matches exactly (OR-amplification) —
+    * fixes the round-1 single-bucket recall hole, where one straddled
+    * hyperplane silently hid a near-pair. P[miss] = (1−(1−θ/π)^r)^b: at
+    * sim 0.9 (θ≈25.8°) with b=16, r=3 it is ~1e-5. Coefficients are derived
+    * once on the driver and shipped as literal arrays (constant-folded into
+    * codegen), not recomputed per row. */
+  def embLshBands(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  bands: Int = 16, rowsPerBand: Int = 3): DataFrame = {
+    val e = normalizedVecs(emb, idCol, vecCol)
+    e.select(col("id"), col("v"),
+        posexplode(HyperplaneBands.col(col("v"), dim, bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
   }
 
-  /** LSH-bucketed embedding near-dup: exact cosine only within buckets. */
+  /** LSH-banded embedding near-dup: candidates from band-bucket collisions
+    * (distinct pairs first, then vectors re-attached by equi-join so the
+    * multi-band duplicates never carry arrays), exact cosine verify. */
   def embNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
-                    dim: Int, minSim: Double = 0.95, planes: Int = 12): DataFrame = {
-    val buk = embLshBuckets(emb, idCol, vecCol, dim, planes)
-    val a = buk.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = buk.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+                    dim: Int, minSim: Double = 0.95,
+                    bands: Int = 16, rowsPerBand: Int = 3): DataFrame = {
+    val e = normalizedVecs(emb, idCol, vecCol)
+    val bk = embLshBands(emb, idCol, vecCol, dim, bands, rowsPerBand)
+      .select("id", "band", "key")
+    val a = bk.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = bk.select(col("band"), col("key"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(e.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("sim", CosineSim.col(col("v_a"), col("v_b")))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** LSH-bucketed approximate top-k neighbors for a query subset — the scale
+    * path beside the exact broadcast-the-queries kNN: each query only scores
+    * vectors sharing ≥1 LSH band, so the corpus is never broadcast and never
+    * crossed with the query set. Returns (query_id, rank, neighbor_id, sim);
+    * queries with fewer than k candidates return fewer rows (ANN semantics). */
+  def knnLsh(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             dim: Int, k: Int = 5, bands: Int = 16, rowsPerBand: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normalizedVecs(emb, idCol, vecCol)
+    val bk = embLshBands(emb, idCol, vecCol, dim, bands, rowsPerBand)
+      .select("id", "band", "key")
+    val qk = embLshBands(queries, idCol, vecCol, dim, bands, rowsPerBand)
+      .select(col("id").as("query_id"), col("band"), col("key"))
+    val cands = qk.join(bk, Seq("band", "key"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id")).distinct()
+    val scored = cands
+      .join(normalizedVecs(queries, idCol, vecCol)
+        .select(col("id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(e.select(col("id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .withColumn("sim", CosineSim.col(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
   }
 }

@@ -38,7 +38,8 @@ final case class FeatureRow(
     max_repeat_run: Int,
     symbol_frac: Double,
     scrubbed_transcript: String,
-    scrub_hits: Seq[ScrubHit]
+    scrub_hits: Seq[ScrubHit],
+    token_scores: Seq[TokenScore]
 )
 
 /** The quality-filter pipeline (SURVEY §3.1 Spark lifecycle):
@@ -87,7 +88,22 @@ object FilterPipeline {
                 val cap = (clip.sr_hz.toLong * cfg.maxAnalyzeMs / 1000L).toInt
                 if (pcm.length > cap) java.util.Arrays.copyOf(pcm, cap) else pcm
               } else pcm
-            val f0 = Heuristics.audioFeatures(analyzed, clip.sr_hz, cfg)
+            // P21 analog: score every clip on the same reference frame grid
+            // regardless of native rate (resize-before-compare)
+            val (ana, anaHz) =
+              if (cfg.referenceHz > 0 && clip.sr_hz != cfg.referenceHz)
+                (Codecs.resampleLinear(analyzed, clip.sr_hz, cfg.referenceHz),
+                  cfg.referenceHz)
+              else (analyzed, clip.sr_hz)
+            // M9 analog: strip leading/trailing silence padding before
+            // analysis; interior pauses still count toward H5
+            val trimmed =
+              if (cfg.trimSilence) {
+                val (from, until) = Heuristics.trimBounds(ana, anaHz, cfg)
+                if (from == 0 && until == ana.length) ana
+                else java.util.Arrays.copyOfRange(ana, from, until)
+              } else ana
+            val f0 = Heuristics.audioFeatures(trimmed, anaHz, cfg)
             val f = f0.copy(n_samples = pcm.length)
             (true, "", f, Heuristics.durMismatch(pcm.length, clip.sr_hz, clip.dur_ms))
           case Left(reason) =>
@@ -112,6 +128,15 @@ object FilterPipeline {
         val pplC = if (t.isEmpty) 0.0 else m.pplChar(scrubbed, pplLang)
         val pplW = if (t.isEmpty) 0.0 else m.pplWord(scrubbed, pplLang)
 
+        // O6 analog: per-token surprisal debug vector for a deterministic
+        // clip_id-hash sample of rows (reference per-word confidence boxes)
+        val tokScores =
+          if (cfg.tokenScoresFrac > 0 && t.nonEmpty &&
+              Math.floorMod(clip.clip_id.hashCode, 10000) < cfg.tokenScoresFrac * 10000)
+            m.tokenSurprisals(scrubbed, pplLang)
+              .map { case (w, lp) => TokenScore(w, lp) }.toSeq
+          else Nil
+
         FeatureRow(
           clip_id = clip.clip_id,
           sr_hz = clip.sr_hz, dur_ms = clip.dur_ms, codec = clip.codec,
@@ -126,7 +151,8 @@ object FilterPipeline {
           max_repeat_run = Heuristics.maxRepeatRun(t),
           symbol_frac = Heuristics.symbolFrac(t),
           scrubbed_transcript = scrubbed,
-          scrub_hits = hits
+          scrub_hits = hits,
+          token_scores = tokScores
         )
       }
     }
@@ -172,15 +198,40 @@ object FilterPipeline {
     * language cohorts. Two passes: a cheap aggregate over the feature table,
     * broadcast-joined back (no second heavyweight decode — callers pass the
     * same cached/checkpointed features frame). */
-  def decideAdaptive(feats: DataFrame, cfg: FilterConfig): DataFrame = {
-    val cohorts = feats
+  /** Per-cohort adaptive PPL cutoffs — the thresholding core of
+    * `decideAdaptive`, exposed for tests and diagnostics. */
+  def adaptiveCutoffs(feats: DataFrame, cfg: FilterConfig): DataFrame = {
+    val stats = feats
       .filter(col("decode_ok") && length(col("transcript")) > 0)
       .groupBy(col("lang"))
       .agg(avg(col("ppl_char")).as("ppl_mean"),
-        coalesce(stddev_pop(col("ppl_char")), lit(0.0)).as("ppl_std"))
-      .withColumn("ppl_cutoff",
-        col("ppl_mean") + lit(cfg.niblackK) * col("ppl_std"))
-      .select(col("lang"), col("ppl_cutoff"))
+        coalesce(stddev_pop(col("ppl_char")), lit(0.0)).as("ppl_std"),
+        min(col("ppl_char")).as("ppl_min"),
+        max(col("ppl_char")).as("ppl_max"))
+    val cutoff = cfg.adaptiveMethod match {
+      case "sauvola" =>
+        // T4: Sauvola m·(1 + k·(s/R − 1)) on min-max-normalized cohort
+        // scores. Raw-PPL stats invert the formula (std ≫ R), so normalize
+        // to [0,1] first; k < 0 is the polarity-flipped parameterization
+        // (good rows are LOW-ppl ↔ Sauvola's dark-text convention): a tight
+        // cohort (s ≪ R) pushes the cutoff well above the mean (lenient), a
+        // dispersed one pulls it toward the mean (aggressive).
+        val range = col("ppl_max") - col("ppl_min")
+        val mNorm = (col("ppl_mean") - col("ppl_min")) / range
+        val sNorm = col("ppl_std") / range
+        val tNorm = mNorm * (lit(1.0) +
+          lit(cfg.sauvolaK) * (sNorm / lit(cfg.sauvolaR) - lit(1.0)))
+        when(range > 0, col("ppl_min") + tNorm * range)
+          .otherwise(lit(cfg.maxPplChar))
+      case _ => // niblack: m + k·s
+        col("ppl_mean") + lit(cfg.niblackK) * col("ppl_std")
+    }
+    stats.withColumn("ppl_cutoff", cutoff)
+      .select(col("lang"), col("ppl_mean"), col("ppl_max"), col("ppl_cutoff"))
+  }
+
+  def decideAdaptive(feats: DataFrame, cfg: FilterConfig): DataFrame = {
+    val cohorts = adaptiveCutoffs(feats, cfg).select("lang", "ppl_cutoff")
     val joined = feats.join(broadcast(cohorts), Seq("lang"), "left")
     val base = decide(joined, cfg)
     // swap the fixed high_ppl_char verdict for the cohort-adaptive one
@@ -201,16 +252,34 @@ object FilterPipeline {
       cfg: FilterConfig,
       model: Broadcast[TextModel],
       counters: Option[Counters] = None
-  ): DataFrame = {
-    val d = decide(features(clips, cfg, model, counters).toDF(), cfg)
-    d.select(
+  ): DataFrame = decisionsManaged(clips, cfg, model, counters)._1
+
+  /** As `decisions`, returning a release thunk: adaptive mode persists the
+    * feature frame (cohort stats + decisions = two scans over the expensive
+    * decode pass); callers invoke the thunk after their consuming action.
+    * Non-adaptive mode persists nothing and the thunk is a no-op. */
+  def decisionsManaged(
+      clips: Dataset[ClipRow],
+      cfg: FilterConfig,
+      model: Broadcast[TextModel],
+      counters: Option[Counters] = None
+  ): (DataFrame, () => Unit) = {
+    val feats = features(clips, cfg, model, counters).toDF()
+    val (d, release) =
+      if (cfg.adaptivePpl) {
+        val cached = feats.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (decideAdaptive(cached, cfg), () => { cached.unpersist(false); () })
+      } else (decide(feats, cfg), () => ())
+    (d.select(
       col("clip_id"), col("keep"), col("drop_reasons"),
       col("scrubbed_transcript"), col("lang"), col("lang_conf"),
       col("ppl_char"), col("ppl_word"), col("sr_hz"), col("dur_ms"),
       col("codec"), col("n_samples"), col("rms_db"), col("peak"),
       col("silence_frac"), col("clip_frac"), col("dyn_range_db"),
       col("speech_ms"), col("n_segments"), col("chars_per_sec"),
-      col("max_repeat_run"), col("symbol_frac"), col("scrub_hits"))
+      col("max_repeat_run"), col("symbol_frac"), col("scrub_hits"),
+      col("token_scores")), release)
   }
 
   /** Per-partition lineage rows (reference C4/G12: intermediate-step lineage

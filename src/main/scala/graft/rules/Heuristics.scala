@@ -106,6 +106,36 @@ object Heuristics {
     s(math.floor(q * (s.length - 1)).toInt)
   }
 
+  /** M9 edge trim: sample bounds [from, until) of the first..last frame at
+    * or above the silence floor (reference border/artifact removal,
+    * `image_processing.py:211-362`, recast to 1-D: leading/trailing silence
+    * is an artifact to strip before analysis, not content). Returns the full
+    * range when no frame reaches the floor (an all-silent clip is left for
+    * the H5 silence rule to drop) — never an empty slice. */
+  def trimBounds(pcm: Array[Float], srHz: Int, cfg: FilterConfig): (Int, Int) = {
+    val n = pcm.length
+    if (n == 0) return (0, 0)
+    val frameLen = math.max(1, srHz * cfg.frameMs / 1000)
+    val nFrames = math.max(1, n / frameLen)
+    var first = -1
+    var last = -1
+    var f = 0
+    while (f < nFrames) {
+      var s = 0.0
+      var j = f * frameLen
+      val end = j + frameLen
+      while (j < end) { val x = pcm(j).toDouble; s += x * x; j += 1 }
+      if (db(math.sqrt(s / frameLen)) >= cfg.silenceFloorDb) {
+        if (first < 0) first = f
+        last = f
+      }
+      f += 1
+    }
+    if (first < 0) (0, n)
+    else (first * frameLen,
+      if (last == nFrames - 1) n else (last + 1) * frameLen)
+  }
+
   /** Extract the full audio feature struct from decoded PCM.
     * Frame-based (non-overlapping `cfg.frameMs` windows): RMS energy per
     * frame → silence mask → opening/closing repair → speech span + segment

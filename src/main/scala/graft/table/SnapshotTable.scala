@@ -3,6 +3,7 @@ package graft.table
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Iceberg-style snapshot-committed Parquet table (SURVEY §7.1/§7.3).
   *
@@ -56,14 +57,34 @@ object SnapshotTable {
     val committed = currentSnapshot(table).map(_.committedChunks).getOrElse(Set.empty)
     // clean partial output of uncommitted chunks (idempotent resume)
     val dataDir = Paths.get(table, "data")
-    Files.list(dataDir).iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("chunk=")) {
-        val id = n.stripPrefix("chunk=").toInt
-        if (!committed.contains(id)) deleteRecursively(p)
+    Using.resource(Files.list(dataDir)) { stream =>
+      stream.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("chunk=")) {
+          val id = n.stripPrefix("chunk=").toInt
+          if (!committed.contains(id)) deleteRecursively(p)
+        }
       }
     }
     committed
+  }
+
+  /** Pin the job's input file listing into the table metadata (the Iceberg
+    * manifest semantic): a resumed run reads EXACTLY the files the first run
+    * planned, even if the input directory gained files in between — committed
+    * chunks keep their round-robin slices valid. Written once, atomically. */
+  def writeManifest(table: String, files: Seq[String]): Unit = {
+    val tmp = metaDir(table).resolve(".manifest.tmp")
+    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaDir(table).resolve("manifest.txt"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The pinned input manifest, if one was written by a previous run. */
+  def readManifest(table: String): Option[Seq[String]] = {
+    val f = metaDir(table).resolve("manifest.txt")
+    if (!Files.exists(f)) None
+    else Some(Files.readString(f).split("\n").toSeq.filter(_.nonEmpty))
   }
 
   /** Atomically commit `chunk` into a new snapshot. Single-writer protocol
@@ -136,7 +157,7 @@ object SnapshotTable {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      Using.resource(Files.list(p))(_.iterator().asScala.foreach(deleteRecursively))
     Files.deleteIfExists(p)
   }
 }

@@ -124,6 +124,25 @@ final case class TextModel(
     math.exp(-logSum / words.length)
   }
 
+  /** Per-token surprisal vector under `lang`'s word LM (SURVEY O6: the
+    * reference's per-word confidence+boxes, `ocr_engine.py:382-432`).
+    * Same probability model as `pplWord`, so
+    * `exp(−mean(logp)) == pplWord(text, lang)` exactly. */
+  def tokenSurprisals(text: String, lang: String): Array[(String, Double)] = {
+    val li = langIndex(lang)
+    if (li < 0) return Array.empty
+    val words = tokenize(text)
+    val counts = wordCounts(li)
+    val total = wordTotals(li).toDouble
+    words.map { w =>
+      val c = counts.getOrElse(w, 0)
+      val p =
+        if (c > 0) c / total
+        else (0.5 / total) * math.pow(0.5, math.min(w.length, 12))
+      (w, math.log(p))
+    }
+  }
+
   /** Best accepted language by char PPL — used when LID is uncertain. */
   def bestPplChar(text: String, accepted: Iterable[String]): (String, Double) =
     accepted.map(l => (l, pplChar(text, l))).minBy(_._2)

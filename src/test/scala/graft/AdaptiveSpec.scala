@@ -44,6 +44,25 @@ class AdaptiveSpec extends AnyFunSuite {
       .filter(col("planted") === "none" && !col("keep")).count()
     assert(cleanDropped <= math.max(1, cleanTotal / 100),
       s"adaptive dropped $cleanDropped/$cleanTotal clean rows")
+
+    // T4: the re-parameterized Sauvola cutoff must NOT invert — it sits
+    // strictly above the cohort mean (so the dense good cluster survives)
+    // and at or below the max (so the worst tail is cut), on every cohort,
+    // including the skewed 70% one
+    val sauvCuts = FilterPipeline.adaptiveCutoffs(feats, Presets.adaptiveSauvola)
+      .collect()
+    assert(sauvCuts.nonEmpty)
+    sauvCuts.foreach { r =>
+      val (m, mx, c) = (r.getAs[Double]("ppl_mean"), r.getAs[Double]("ppl_max"),
+        r.getAs[Double]("ppl_cutoff"))
+      assert(c > m, s"sauvola inverted on ${r.getAs[String]("lang")}: cutoff $c <= mean $m")
+      assert(c <= mx, s"sauvola cutoff $c above max $mx")
+    }
+    // niblack vs sauvola: both adaptive forms separate the same garbled rows
+    val sauvola = FilterPipeline.decideAdaptive(feats, Presets.adaptiveSauvola)
+    val sauvDrops = pplDropIds(sauvola).count(_ == "garbled")
+    assert(sauvDrops >= (fixedDrops * 9) / 10,
+      s"sauvola caught $sauvDrops of $fixedDrops garbled rows")
     feats.unpersist()
   }
 }

@@ -85,7 +85,7 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(r2(0).getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
-  test("embedding LSH near-dup pairs are a subset of brute-force pairs") {
+  private def embFixture() = {
     val rng = new graft.fixture.Prng(5)
     val vecs = (0 until 60).map { i =>
       val base = Array.fill(16)(rng.nextGaussian())
@@ -95,15 +95,56 @@ class DedupSpec extends AnyFunSuite {
     val planted = (0 until 5).map { i =>
       (100L + i, vecs(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
     }
-    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    (vecs ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("embedding LSH near-dup: precision (subset of brute) AND recall ≥ 0.95") {
+    val df = embFixture()
     val brute = Dedup.embNearDup(df, "vec_id", "embedding", minSim = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embNearDupLsh(df, "vec_id", "embedding", dim = 16,
-      minSim = 0.95, planes = 8)
+      minSim = 0.95, bands = 16, rowsPerBand = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.size >= 5, s"expected planted pairs, got $brute")
-    assert(lsh.subsetOf(brute))
+    assert(lsh.subsetOf(brute), "cosine verify guarantees precision")
+    // banded OR-amplification: P[miss] at sim 0.95 with b=16, r=3 ≈ 1e-9
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"LSH recall $recall vs brute ${brute.size} pairs")
     // near-identical vectors share every hyperplane side → LSH must find them
     assert((0 until 5).forall(i => lsh.contains((i.toLong, 100L + i))))
+  }
+
+  test("LSH kNN recall@5 ≥ 0.9 vs exact brute-force kNN") {
+    val df = embFixture()
+    val q = df.filter(col("vec_id") < 10)
+    // exact top-5 via brute pairs on the same fixture
+    val e = df.selectExpr("vec_id", "cast(embedding as array<double>) v")
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = qv.join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("sim", CosineSim.col(col("qv"), col("v")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ann = Dedup.knnLsh(df, q, "vec_id", "embedding", dim = 16, k = 5,
+      bands = 16, rowsPerBand = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall@5 $recall")
+  }
+
+  test("verified simhash and fingerprint near-dup surface the planted pair") {
+    val sim = Dedup.simhashNearDup(docs(), "doc_id", "text",
+      maxHamming = 12, numBands = 4, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.contains((1L, 5L)), s"exact dup must survive verify, got $sim")
+    assert(!sim.exists(p => p._1 == 3L || p._2 == 3L))
+    val fp = Dedup.fingerprintNearDup(docs(), "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fp.contains((1L, 5L)), s"exact dup shares every fingerprint, got $fp")
+    assert(fp.contains((1L, 2L)), "near dup shares fingerprints + J ≥ 0.5")
+    assert(!fp.exists(p => p._1 == 3L || p._2 == 3L))
   }
 }

@@ -112,6 +112,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("M9 edge trim: padded_silence rows are kept; without trim they drop as silence") {
+    val padded = rows.indices
+      .filter(i => ClipGen.plantedDefect(i, params) == ClipGen.Defect.PaddedSilence)
+      .map(rows(_))
+    assert(padded.nonEmpty, "fixture must contain padded_silence rows")
+    padded.foreach { r =>
+      assert(engineById(r.clip_id)._1,
+        s"${r.clip_id} dropped: ${engineById(r.clip_id)._2}")
+    }
+    // the oracle shows the pads would trip H5 without the trim — edge
+    // padding is an artifact the trim removes, not content to score
+    val noTrim = cfg.copy(trimSilence = false)
+    padded.foreach { r =>
+      val e = Oracle.expected(r, noTrim, TextModel.default)
+      assert(e.reasons.contains("silence"),
+        s"${r.clip_id} expected silence-drop without trim, got ${e.reasons}")
+    }
+  }
+
+  test("P21 resample: same analog content at 8k and 16k native rates scores alike") {
+    def sample(srHz: Int): Array[Float] = {
+      val n = srHz * 2
+      Array.tabulate(n) { i =>
+        val t = i.toDouble / srHz
+        val env = if (t % 0.5 < 0.3) 0.4 else 0.0 // 60% duty bursts
+        (env * math.sin(2 * math.Pi * 220 * t)).toFloat
+      }
+    }
+    val f16 = graft.rules.Heuristics.audioFeatures(sample(16000), 16000, cfg)
+    val f8on16 = graft.rules.Heuristics.audioFeatures(
+      Codecs.resampleLinear(sample(8000), 8000, 16000), 16000, cfg)
+    assert(math.abs(f16.silence_frac - f8on16.silence_frac) < 0.03,
+      s"silence_frac ${f16.silence_frac} vs ${f8on16.silence_frac}")
+    assert(math.abs(f16.speech_ms - f8on16.speech_ms) <= 2 * cfg.frameMs,
+      s"speech_ms ${f16.speech_ms} vs ${f8on16.speech_ms}")
+  }
+
   test("pipeline output row count and lineage counters are consistent") {
     val spark = SparkTestBase.spark
     import spark.implicits._

@@ -78,6 +78,41 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("O6: token surprisal vector aggregates exactly to ppl_word") {
+    for (i <- 0 until 20) {
+      val lang = LangGen.langs(i % LangGen.langs.length)
+      var s = LangGen.byName(lang).sentence(Prng.derive(88, 4, i.toLong), 120)
+      if (i % 4 == 0) s = s + " zzzqqq" // include an OOV path
+      val ts = model.tokenSurprisals(s, lang)
+      assert(ts.nonEmpty)
+      val ppl = math.exp(-ts.map(_._2).sum / ts.length)
+      val expected = model.pplWord(s, lang)
+      assert(math.abs(ppl - expected) / expected < 1e-12,
+        s"token aggregate $ppl vs ppl_word $expected")
+      // tokens round-trip the same tokenizer
+      assert(ts.map(_._1).sameElements(TextModel.tokenize(s)))
+    }
+  }
+
+  test("O6: sampled token_scores column flows through the pipeline") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val params = graft.fixture.ClipGen.Params(60, seed = 9, maxDurMs = 1500)
+    val bmodel = spark.sparkContext.broadcast(model)
+    val clips = spark.range(60).map(i => graft.fixture.ClipGen.row(i, params))
+    val cfg = graft.model.Presets.default.copy(tokenScoresFrac = 1.0)
+    val rows = graft.pipeline.FilterPipeline.features(clips, cfg, bmodel)
+      .toDF().select("transcript", "lang", "ppl_word", "token_scores")
+      .collect()
+    val scored = rows.filter(_.getSeq[Any](3).nonEmpty)
+    assert(scored.length > rows.length / 2, "frac=1.0 must score most rows")
+    // with frac=0 the column is empty everywhere
+    val off = graft.pipeline.FilterPipeline.features(clips,
+        graft.model.Presets.default, bmodel)
+      .toDF().select("token_scores").collect()
+    assert(off.forall(_.getSeq[Any](0).isEmpty))
+  }
+
   test("heuristics: repeat runs, symbol fraction, mask morphology, percentile") {
     assert(Heuristics.maxRepeatRun("a b b b c") == 3)
     assert(Heuristics.maxRepeatRun("") == 0)
@@ -92,5 +127,21 @@ class TextSpec extends AnyFunSuite {
       Seq(false, true, true, true, true, false))
     assert(Heuristics.percentile(Array(1.0, 2.0, 3.0, 4.0, 5.0), 0.5) == 3.0)
     assert(Heuristics.percentile(Array.empty[Double], 0.5) == 0.0)
+  }
+
+  test("M9 trimBounds: strips edge silence, keeps interior, no-op when all silent") {
+    val cfg = graft.model.Presets.default.copy(frameMs = 20)
+    val sr = 1000 // frameLen = 20 samples
+    def frames(levels: Double*): Array[Float] =
+      levels.flatMap(l => Seq.fill(20)(l.toFloat)).toArray
+    // silent, silent, loud, loud, silent → [40, 80)
+    assert(Heuristics.trimBounds(frames(0, 0, 0.5, 0.5, 0), sr, cfg) == (40, 80))
+    // loud everywhere → full range
+    assert(Heuristics.trimBounds(frames(0.5, 0.5), sr, cfg) == (0, 40))
+    // all silent → full range (left for the H5 silence rule)
+    assert(Heuristics.trimBounds(frames(0, 0, 0), sr, cfg) == (0, 60))
+    // last frame loud → until = n (tail remainder kept)
+    val tail = frames(0, 0.5) ++ Array.fill(7)(0.5f)
+    assert(Heuristics.trimBounds(tail, sr, cfg) == (20, 47))
   }
 }

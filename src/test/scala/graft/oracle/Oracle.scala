@@ -91,6 +91,37 @@ object Oracle {
 
   // ---- independent audio features -----------------------------------------
 
+  /** Independent linear resampler to the documented spec (P21): output
+    * length floor(n·to/from), pos = i·from/to, linear interp in double,
+    * clamped indices. */
+  def resample(pcm: Array[Float], fromHz: Int, toHz: Int): Array[Float] = {
+    if (fromHz == toHz || pcm.isEmpty) return pcm
+    val n = (pcm.length.toLong * toHz / fromHz).toInt
+    (0 until n).map { i =>
+      val pos = i * (fromHz.toDouble / toHz)
+      val j = pos.toInt
+      val lo = pcm(math.min(j, pcm.length - 1)).toDouble
+      val hi = pcm(math.min(j + 1, pcm.length - 1)).toDouble
+      (lo + (hi - lo) * (pos - j)).toFloat
+    }.toArray
+  }
+
+  /** Independent M9 edge trim to the documented spec: first..last frame with
+    * RMS ≥ the silence floor; no trim when no frame qualifies. */
+  def trim(pcm: Array[Float], srHz: Int, cfg: FilterConfig): Array[Float] = {
+    if (pcm.isEmpty) return pcm
+    val flen = math.max(1, srHz * cfg.frameMs / 1000)
+    val nf = math.max(1, pcm.length / flen)
+    val loud = (0 until nf).filter { f =>
+      val seg = pcm.slice(f * flen, f * flen + flen)
+      val rms = math.sqrt(seg.map(s => s.toDouble * s.toDouble).sum / flen)
+      20.0 * math.log10(math.max(rms, 1e-9)) >= cfg.silenceFloorDb
+    }
+    if (loud.isEmpty) pcm
+    else pcm.slice(loud.head * flen,
+      if (loud.last == nf - 1) pcm.length else (loud.last + 1) * flen)
+  }
+
   final case class AFeat(nSamples: Int, silenceFrac: Double, clipFrac: Double,
                          dynRangeDb: Double)
 
@@ -159,8 +190,15 @@ object Oracle {
     if (syms > cfg.maxSymbolFrac) reasons += "symbol_density"
 
     decoded.foreach { pcm =>
-      val f = audioFeatures(pcm, row.sr_hz, cfg)
-      val actualMs = f.nSamples * 1000.0 / row.sr_hz
+      // analysis grid: resample to the reference rate, then edge-trim —
+      // H4 metadata sanity always uses the NATIVE decoded length
+      val (ana, anaHz) =
+        if (cfg.referenceHz > 0 && row.sr_hz != cfg.referenceHz)
+          (resample(pcm, row.sr_hz, cfg.referenceHz), cfg.referenceHz)
+        else (pcm, row.sr_hz)
+      val trimmed = if (cfg.trimSilence) trim(ana, anaHz, cfg) else ana
+      val f = audioFeatures(trimmed, anaHz, cfg)
+      val actualMs = pcm.length * 1000.0 / row.sr_hz
       val mism = if (row.dur_ms <= 0) 1.0 else math.abs(actualMs - row.dur_ms) / row.dur_ms
       if (mism > cfg.maxDurMismatch) reasons += "dur_text_mismatch"
       if (f.silenceFrac > cfg.maxSilenceFrac) reasons += "silence"
