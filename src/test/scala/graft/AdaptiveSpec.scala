@@ -58,6 +58,16 @@ class AdaptiveSpec extends AnyFunSuite {
       assert(c > m, s"sauvola inverted on ${r.getAs[String]("lang")}: cutoff $c <= mean $m")
       assert(c <= mx, s"sauvola cutoff $c above max $mx")
     }
+    // P18 gamma LUT: γ < 1 lifts the normalized cutoff (more lenient)
+    val gammaCuts = FilterPipeline.adaptiveCutoffs(feats,
+        Presets.adaptiveSauvola.copy(adaptiveGamma = 0.5))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("ppl_cutoff")).toMap
+    sauvCuts.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(gammaCuts(lang) > r.getAs[Double]("ppl_cutoff"),
+        s"gamma 0.5 must lift the cutoff for $lang")
+    }
+
     // niblack vs sauvola: both adaptive forms separate the same garbled rows
     val sauvola = FilterPipeline.decideAdaptive(feats, Presets.adaptiveSauvola)
     val sauvDrops = pplDropIds(sauvola).count(_ == "garbled")

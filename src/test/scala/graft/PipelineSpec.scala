@@ -149,6 +149,59 @@ class PipelineSpec extends AnyFunSuite {
       s"speech_ms ${f16.speech_ms} vs ${f8on16.speech_ms}")
   }
 
+  test("G2/G3: windowed correlation of engine vs oracle decode is 1 (SSIM analog)") {
+    val decodable = rows.filter(r => Codecs.decode(r.codec, r.bytes).isRight).take(30)
+    assert(decodable.nonEmpty)
+    decodable.foreach { r =>
+      val e = Codecs.decode(r.codec, r.bytes).toOption.get
+      val o = Oracle.decode(r.codec, r.bytes).get
+      val w = 256
+      var worst = 1.0
+      var i = 0
+      while (i + w <= e.length) {
+        var se = 0.0; var so = 0.0; var see = 0.0; var soo = 0.0; var seo = 0.0
+        for (j <- i until i + w) {
+          se += e(j); so += o(j)
+          see += e(j).toDouble * e(j); soo += o(j).toDouble * o(j)
+          seo += e(j).toDouble * o(j)
+        }
+        val ve = see - se * se / w; val vo = soo - so * so / w
+        val cov = seo - se * so / w
+        val corr = if (ve == 0 && vo == 0) 1.0
+          else if (ve == 0 || vo == 0) 0.0
+          else cov / math.sqrt(ve * vo)
+        if (corr < worst) worst = corr
+        i += w
+      }
+      assert(worst >= 0.999, s"${r.clip_id} windowed corr $worst")
+    }
+  }
+
+  test("P3/P8/P13/P19/O5 features: smoothing, multiscale, band contrast, DC, segments") {
+    import graft.rules.Heuristics
+    // P3 moving average: constant signal is a fixed point
+    val const = Array.fill(100)(0.5f)
+    assert(Heuristics.movingAvg(const, 8).forall(v => math.abs(v - 0.5f) < 1e-6))
+    // P13: white noise carries more high-band energy than a slow sinusoid
+    val rng = new graft.fixture.Prng(7)
+    val noise = Array.fill(16000)((0.3 * rng.nextGaussian()).toFloat)
+    val slow = Array.tabulate(16000)(i => (0.3 * math.sin(2 * math.Pi * 40 * i / 16000.0)).toFloat)
+    val fN = Heuristics.audioFeatures(noise, 16000, cfg)
+    val fS = Heuristics.audioFeatures(slow, 16000, cfg)
+    assert(fN.band_contrast_db > fS.band_contrast_db,
+      s"noise ${fN.band_contrast_db} vs slow ${fS.band_contrast_db}")
+    // P19: planted DC offset is measured
+    val dc = Array.tabulate(16000)(i => (0.1 + 0.2 * math.sin(2 * math.Pi * 300 * i / 16000.0)).toFloat)
+    assert(math.abs(Heuristics.audioFeatures(dc, 16000, cfg).dc_offset - 0.1) < 0.01)
+    assert(math.abs(fS.dc_offset) < 0.01)
+    // O5/P8: segment durations sum to speech_ms; multiscale fields populated
+    val f = Heuristics.audioFeatures(
+      Codecs.decode(rows.head.codec, rows.head.bytes).toOption
+        .getOrElse(Array.fill(16000)(0.2f)), 16000, cfg)
+    assert(math.abs(f.segment_ms.sum - f.speech_ms) < 1e-9)
+    assert(f.segment_ms.length == f.n_segments)
+  }
+
   test("pipeline output row count and lineage counters are consistent") {
     val spark = SparkTestBase.spark
     import spark.implicits._

@@ -94,6 +94,45 @@ class TableSpec extends AnyFunSuite {
     assert(FilterJob.listDataFiles(spark, input).size == 2)
   }
 
+  test("resume pins the input manifest: files added after the kill are invisible") {
+    val spark = SparkTestBase.spark
+    val input = tmpDir("graft-in4")
+    GenMain.generate(spark, input, ClipGen.Params(80, seed = 21, maxDurMs = 1200), files = 4)
+    val outA = tmpDir("graft-out4a") + "/t"
+    val outB = tmpDir("graft-out4b") + "/t"
+    val args = (o: String) => FilterJob.JobArgs(input, o, chunks = 2, saltBuckets = 4)
+    FilterJob.run(spark, args(outA)) // ground truth over the original listing
+
+    // interrupted run: roll back to the first snapshot (one committed chunk)
+    FilterJob.run(spark, args(outB))
+    val meta = Paths.get(outB, "metadata")
+    Files.writeString(meta.resolve("current"), "v0.json")
+    Files.deleteIfExists(meta.resolve("v1.json"))
+    // a new parquet file lands in the input directory AFTER the kill; the
+    // plain-directory listing would re-slice the round-robin chunks —
+    // committed chunks keeping old slices, new chunks new ones (silent
+    // dups/omissions). The pinned manifest makes it invisible.
+    val extraDir = tmpDir("graft-extra")
+    GenMain.generate(spark, extraDir, ClipGen.Params(20, seed = 99, maxDurMs = 1200), files = 1)
+    val lateSrc = FilterJob.listDataFiles(spark, extraDir).head
+    Files.copy(Paths.get(lateSrc.stripPrefix("file:")),
+      Paths.get(input, "zz-late-arrival.parquet"))
+
+    FilterJob.run(spark, args(outB)) // resume
+    assert(SnapshotTable.isComplete(outB))
+    val a = FilterJob.readDecisions(spark, outA)
+      .drop("chunk").collect().map(_.toString).sorted
+    val b = FilterJob.readDecisions(spark, outB)
+      .drop("chunk").collect().map(_.toString).sorted
+    assert(a.length == 80 && b.length == 80,
+      s"late-arriving input leaked into the resumed run (${b.length} rows)")
+    assert(a.sameElements(b))
+    // a FRESH job over the same input does see the new file
+    val outC = tmpDir("graft-out4c") + "/t"
+    FilterJob.run(spark, args(outC))
+    assert(FilterJob.readDecisions(spark, outC).count() == 100)
+  }
+
   test("decision table partition layout prunes on keep/lang") {
     val spark = SparkTestBase.spark
     val input = tmpDir("graft-in2")

@@ -129,6 +129,27 @@ class TextSpec extends AnyFunSuite {
     assert(Heuristics.percentile(Array.empty[Double], 0.5) == 0.0)
   }
 
+  test("fused band-contrast window equals the simple clamped-window formulation") {
+    val cfg = graft.model.Presets.default
+    val rng = new Prng(123)
+    for (len <- Seq(5, 17, 18, 100, 1000, 16001)) {
+      val x = Array.fill(len)((0.5 * rng.nextGaussian()).toFloat)
+      val f = Heuristics.audioFeatures(x, 16000, cfg)
+      val halfW = math.max(2, 16000 / 1000) / 2
+      var eL = 0.0; var eH = 0.0
+      for (i <- 0 until len) {
+        val lo = math.max(0, i - halfW); val hi = math.min(len - 1, i + halfW)
+        var s = 0.0
+        for (j <- lo to hi) s += x(j)
+        val sm = s / (hi - lo + 1)
+        eL += sm * sm; eH += (x(i) - sm) * (x(i) - sm)
+      }
+      val expect = 10 * math.log10(math.max(eH, 1e-18) / math.max(eL, 1e-18))
+      assert(math.abs(f.band_contrast_db - expect) < 1e-6,
+        s"len=$len: ${f.band_contrast_db} vs $expect")
+    }
+  }
+
   test("M9 trimBounds: strips edge silence, keeps interior, no-op when all silent") {
     val cfg = graft.model.Presets.default.copy(frameMs = 20)
     val sr = 1000 // frameLen = 20 samples
