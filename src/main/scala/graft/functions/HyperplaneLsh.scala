@@ -9,12 +9,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Static random-hyperplane LSH kernel shared by eval and codegen. */
 object HyperplaneLsh {
   /** Deterministic plane coefficients: plane p, dim d → centered splitmix
-    * hash in [-0.5, 0.5). Same family at every call site, so bucket keys
-    * are comparable across queries. */
-  def planes(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    * hash in [-0.5, 0.5). The default seed gives the same family at every
+    * call site (bucket keys comparable across queries); pass a distinct
+    * seed for an independent family (e.g. estimate sketches that must not
+    * share planes with the bucketing bands). */
+  def planes(dim: Int, nPlanes: Int, seed: Long = 0x1A5B3CL): Array[Array[Double]] =
     Array.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { d =>
-        val h = graft.fixture.Prng.derive(0x1A5B3CL, p.toLong, d.toLong).nextLong()
+        val h = graft.fixture.Prng.derive(seed, p.toLong, d.toLong).nextLong()
         Math.floorMod(h, 1000000L) / 1000000.0 - 0.5
       }
     }
@@ -50,13 +52,14 @@ object HyperplaneLsh {
   * a bands×rowsPerBand stack of interpreted `aggregate(zip_with(...))` HOF
   * dot products with one fused codegen'd loop. */
 case class HyperplaneBands(child: Expression, dim: Int, bands: Int,
-                           rowsPerBand: Int) extends UnaryExpression {
+                           rowsPerBand: Int, seed: Long = 0x1A5B3CL)
+    extends UnaryExpression {
 
   require(dim >= 1 && bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 63,
     s"bad HyperplaneBands params dim=$dim b=$bands r=$rowsPerBand")
 
   @transient private lazy val coeffs: Array[Array[Double]] =
-    HyperplaneLsh.planes(dim, bands * rowsPerBand)
+    HyperplaneLsh.planes(dim, bands * rowsPerBand, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -75,7 +78,8 @@ case class HyperplaneBands(child: Expression, dim: Int, bands: Int,
 }
 
 object HyperplaneBands {
-  def col(vec: Column, dim: Int, bands: Int, rowsPerBand: Int): Column =
+  def col(vec: Column, dim: Int, bands: Int, rowsPerBand: Int,
+          seed: Long = 0x1A5B3CL): Column =
     GraftBridge.column(
-      HyperplaneBands(GraftBridge.expression(vec), dim, bands, rowsPerBand))
+      HyperplaneBands(GraftBridge.expression(vec), dim, bands, rowsPerBand, seed))
 }

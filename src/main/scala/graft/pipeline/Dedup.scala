@@ -254,9 +254,38 @@ object Dedup {
       .withColumnRenamed("col", "key")
   }
 
+  /** Sign-sketch estimate tier for embedding candidates: a 252-bit
+    * hyperplane sign sketch (4 longs — reuses `HyperplaneBands` with
+    * 63-bit bands, a DIFFERENT plane range than the bucketing bands) rides
+    * along as 32 bytes per vector; the Hamming distance estimates the pair
+    * angle (E[ham] = 252·θ/π, σ ≈ 7.9), so pairs whose estimated angle
+    * cannot plausibly clear `minSim` are dropped before any full vector
+    * travels through a join. The margin is set at +3σ above the threshold
+    * angle — candidates at the threshold keep ~3σ headroom. */
+  def embSketchFilter(e: DataFrame, cands: DataFrame, dim: Int,
+                      minSim: Double): DataFrame = {
+    val sketchBits = 4 * 63
+    val theta = math.acos(math.min(1.0, math.max(-1.0, minSim)))
+    val mean = sketchBits * theta / math.Pi
+    val sigma = math.sqrt(sketchBits * (theta / math.Pi) * (1 - theta / math.Pi))
+    val maxHam = math.min(sketchBits.toDouble, mean + 3.0 * sigma)
+    val sk = e.select(col("id"),
+      HyperplaneBands.col(col("v"), dim, bands = 4, rowsPerBand = 63,
+        seed = 0x5EEDCAFEL).as("sk"))
+    cands
+      .join(sk.select(col("id").as("id_a"), col("sk").as("sk_a")), "id_a")
+      .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")), "id_b")
+      .withColumn("ham",
+        aggregate(zip_with(col("sk_a"), col("sk_b"),
+            (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (acc, v) => acc + v.cast("int")))
+      .filter(col("ham") <= maxHam)
+      .select("id_a", "id_b")
+  }
+
   /** LSH-banded embedding near-dup: candidates from band-bucket collisions
-    * (distinct pairs first, then vectors re-attached by equi-join so the
-    * multi-band duplicates never carry arrays), exact cosine verify. */
+    * (distinct skinny pairs first), a 32-byte sign-sketch Hamming tier, and
+    * only then the exact cosine verify over re-attached vectors. */
   def embNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                     dim: Int, minSim: Double = 0.95,
                     bands: Int = 16, rowsPerBand: Int = 3): DataFrame = {
@@ -267,7 +296,7 @@ object Dedup {
     val b = bk.select(col("band"), col("key"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
+    embSketchFilter(e, cands, dim, minSim)
       .join(e.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(e.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("sim", CosineSim.col(col("v_a"), col("v_b")))
