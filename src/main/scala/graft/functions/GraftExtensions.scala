@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * as SQL functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works.
@@ -13,10 +13,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.cosineSimFn)
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private val cosineSimFn = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
@@ -26,9 +33,43 @@ object GraftExtensions {
     }
   )
 
+  private val minhashSigFn = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "minhash_sig(text, shingle_k, num_hashes) takes three args")
+      MinHashSig(children.head, intArg(children(1), "shingle_k"),
+        intArg(children(2), "num_hashes")): Expression
+    }
+  )
+
+  private val matchCountFn = (
+    FunctionIdentifier("match_count"),
+    new ExpressionInfo(classOf[MatchCount].getName, "match_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "match_count(a, b) takes two array<bigint> args")
+      MatchCount(children.head, children(1)): Expression
+    }
+  )
+
+  private val sketchHammingFn = (
+    FunctionIdentifier("sketch_hamming"),
+    new ExpressionInfo(classOf[SketchHamming].getName, "sketch_hamming"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "sketch_hamming(a, b) takes two array<bigint> args")
+      SketchHamming(children.head, children(1)): Expression
+    }
+  )
+
+  private[functions] val all = Seq(
+    cosineSimFn, minhashSigFn, matchCountFn, sketchHammingFn)
+
   /** Register on an already-running session (extensions only apply at
     * session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, cosineSimFn._1.funcName, cosineSimFn._2, cosineSimFn._3)
+    all.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(
+        spark, id.funcName, info, builder)
+    }
 }

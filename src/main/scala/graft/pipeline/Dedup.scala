@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CosineSim, HyperplaneBands, MinHashSig, TextSim}
+import graft.functions.{CosineSim, HyperplaneBands, MatchCount, MinHashSig, SketchHamming, TextSim}
 
 /** Large-scale deduplication & similarity operators for training-data
   * pipelines. All shapes are the standard distributed formulations:
@@ -31,6 +31,17 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies")
+
+  /** Spread a small scan across the session's default parallelism: a
+    * single-file table plans one input partition, which would serialize
+    * every expensive narrow stage (signatures, fingerprints) onto one core
+    * AND recompute it per plan branch — the repartition exchange is instead
+    * computed once and reused by all branches. A no-op when the input
+    * already has enough partitions (the 100 TB case). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** Character k-shingles of a text column (distinct per doc). */
   def shingles(textCol: Column, k: Int): Column =
@@ -80,9 +91,7 @@ object Dedup {
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+        MatchCount.col(col("sig_a"), col("sig_b")).cast(DoubleType) / numHashes)
       .filter(col("est") >= minEst)
       .select("id_a", "id_b")
   }
@@ -117,7 +126,7 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 80, rowsPerBand: Int = 5,
                    minJaccard: Double = 0.5): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     val bands = base.select(col("id"),
         explode(minhashBandKeys(
           MinHashSig.col(col("txt"), shingleK, numHashes),
@@ -135,7 +144,8 @@ object Dedup {
 
   /** 64-bit SimHash per doc. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("simhash"))
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), simhashUdf(col("t")).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming`, candidate-limited by
     * band collisions over `numBands` equal slices of the 64-bit fingerprint.
@@ -179,8 +189,9 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 7, numBands: Int = 8,
                      shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("arr"))
+    val sets = spread(docs.select(col(idCol).as("id"),
+      col(textCol).as("txt")))
+      .select(col("id"), shingles(col("txt"), shingleK).as("arr"))
     jaccardVerifyArrays(sets,
       simhashPairs(docs, idCol, textCol, maxHamming, numBands)
         .select("id_a", "id_b"),
@@ -189,7 +200,8 @@ object Dedup {
 
   /** Winnowing fingerprints per doc (rolling-hash k-grams, window minima). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), fingerprintUdf(col(textCol)).as("fingerprint"))
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), fingerprintUdf(col("t")).as("fingerprint"))
 
   /** Fingerprint-bucket candidates verified by exact char-shingle Jaccard —
     * same verify contract as `nearDupPairs`, different (cheaper, coarser)
@@ -209,7 +221,7 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("id_a", "id_b")
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     val pruned = sigEstimateFilter(base, "id", "txt", cands, shingleK,
       minEst = math.max(0.0, minJaccard - 0.2))
     val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
@@ -234,8 +246,8 @@ object Dedup {
   }
 
   private def normalizedVecs(emb: DataFrame, idCol: String, vecCol: String) =
-    emb.select(col(idCol).as("id"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    spread(emb.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
 
   /** Banded random-hyperplane LSH keys: `bands` (band, key) rows per vector,
     * each key the sign pattern of that band's `rowsPerBand` hyperplanes.
@@ -275,10 +287,7 @@ object Dedup {
     cands
       .join(sk.select(col("id").as("id_a"), col("sk").as("sk_a")), "id_a")
       .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")), "id_b")
-      .withColumn("ham",
-        aggregate(zip_with(col("sk_a"), col("sk_b"),
-            (x, y) => bit_count(x.bitwiseXOR(y))),
-          lit(0), (acc, v) => acc + v.cast("int")))
+      .withColumn("ham", SketchHamming.col(col("sk_a"), col("sk_b")))
       .filter(col("ham") <= maxHam)
       .select("id_a", "id_b")
   }

@@ -75,6 +75,43 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("MatchCount / SketchHamming native expressions: eval + codegen paths") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L), 3, 0),
+      (Array(0L, 0L), Array(0L, 0L), 2, 0),
+      (Array(1L, 2L), Array(3L, 4L), 0, 0)
+    ).toDF("a", "b", "expect_match", "pad")
+    val rows = df.select(
+      graft.functions.MatchCount.col($"a", $"b").as("m"),
+      graft.functions.SketchHamming.col($"a", $"b").as("h"),
+      $"expect_match").collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(2)))
+    // hamming: popcount of elementwise xor
+    assert(rows(0).getInt(1) ==
+      java.lang.Long.bitCount(2L ^ 9L))
+    assert(rows(1).getInt(1) == 0)
+    assert(rows(2).getInt(1) ==
+      java.lang.Long.bitCount(1L ^ 3L) + java.lang.Long.bitCount(2L ^ 4L))
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit = (xs: Array[Long]) => Literal.create(xs, ArrayType(LongType))
+    assert(graft.functions.MatchCount(lit(Array(7L, 8L)), lit(Array(7L, 9L)))
+      .eval(null) == 1)
+    assert(graft.functions.SketchHamming(lit(Array(0L)), lit(Array(255L)))
+      .eval(null) == 8)
+  }
+
+  test("minhash_sig / match_count / sketch_hamming available from SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT match_count(minhash_sig('hello world text', 5, 32),
+        |                   minhash_sig('hello world text', 5, 32)) AS m,
+        |       sketch_hamming(array(1L, 2L), array(1L, 2L)) AS h""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 32 && r.getInt(1) == 0)
+  }
+
   test("cosine_sim is available from SQL after registration") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
