@@ -135,10 +135,15 @@ object Codecs {
     out
   }
 
+  // 256-entry decode LUT (µ-law is a pure byte→level map); built from the
+  // spec decoder above, so bit-identical to per-sample arithmetic
+  private val UlawTable: Array[Float] =
+    Array.tabulate(256)(b => s16ToFloat(ulawDecodeSample(b.toByte)))
+
   def decodeUlaw(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](bytes.length)
     var i = 0
-    while (i < bytes.length) { out(i) = s16ToFloat(ulawDecodeSample(bytes(i))); i += 1 }
+    while (i < bytes.length) { out(i) = UlawTable(bytes(i) & 0xFF); i += 1 }
     out
   }
 
