@@ -320,6 +320,18 @@ object SparkEntry {
           dim = 64, k = 5, bands = 16, rowsPerBand = 3)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF approximate kNN (second ANN scale path; rows-only) ----------
+    // spherical-k-means coarse cells + multi-probe: per-query work is
+    // corpus/nCells·nProbe — recall vs the exact path gated in DedupSpec
+    "q_emb_knn_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val q = e.filter(col("vec_id") < 20)
+      graft.pipeline.Dedup.knnIvf(e, q, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 6)
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("query_id", "rank")
     })
   )
 

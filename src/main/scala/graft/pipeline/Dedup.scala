@@ -313,6 +313,42 @@ object Dedup {
       .select("id_a", "id_b", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k neighbors — the second ANN scale
+    * path beside `knnLsh`: spherical k-means coarse centroids are fitted on
+    * a deterministic hash-sample collected to the driver (the standard IVF
+    * train step; the sample, not the corpus, crosses the driver), every
+    * vector is assigned to its nearest cell by a native codegen'd
+    * expression, and each query scores only the vectors in its `nProbe`
+    * best cells. No corpus broadcast, no query×corpus cross — per-query
+    * work is corpus/nCells·nProbe. */
+  def knnIvf(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+             sampleN: Int = 2048, seed: Long = 0x1F5EEDL): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normalizedVecs(emb, idCol, vecCol)
+    // deterministic training sample: hash-filter then bounded collect
+    val sampled = e
+      .filter(pmod(xxhash64(col("id").cast("string")), lit(4)) === 0)
+      .limit(sampleN).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val sample = if (sampled.nonEmpty) sampled
+      else e.limit(math.min(sampleN, 64)).collect().map(_.getSeq[Double](1).toArray)
+    val cents = graft.functions.Ivf.fit(sample, nCells, iters = 10, seed = seed)
+    val assigned = e.withColumn("cell",
+      element_at(graft.functions.IvfTopCells.col(col("v"), cents, 1), 1))
+    val qprobe = normalizedVecs(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(graft.functions.IvfTopCells.col(col("v"), cents, nProbe)).as("cell"))
+    val scored = qprobe.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("sim", CosineSim.col(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
+
   /** LSH-bucketed approximate top-k neighbors for a query subset — the scale
     * path beside the exact broadcast-the-queries kNN: each query only scores
     * vectors sharing ≥1 LSH band, so the corpus is never broadcast and never

@@ -172,6 +172,38 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall@5 $recall")
   }
 
+  test("IVF kNN: fit is deterministic; recall@5 ≥ 0.8 vs exact brute force") {
+    val df = embFixture()
+    val q = df.filter(col("vec_id") < 10)
+    // deterministic fit: same sample → same centroids
+    val sample = (0 until 40).map(i =>
+      Array.tabulate(16)(d => math.sin(i * 17 + d).toDouble)).toArray
+    val c1 = graft.functions.Ivf.fit(sample, 4)
+    val c2 = graft.functions.Ivf.fit(sample, 4)
+    assert(c1.length == 4 && c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    // exact top-5 ground truth
+    val e = df.selectExpr("vec_id", "cast(embedding as array<double>) v")
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = qv.join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("sim", CosineSim.col(col("qv"), col("v")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // with 8 cells and 4 probes over a 65-vector corpus, half the cells are
+    // probed per query — a real pruning ratio, not a degenerate full scan
+    val ivf = Dedup.knnIvf(df, q, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4, sampleN = 64)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall@5 $recall")
+    // planted near-identical vectors land in the query's own best cell
+    assert((0 until 5).forall(i => ivf.contains((i.toLong, 100L + i))),
+      "planted near-dups must be retrieved")
+  }
+
   test("verified simhash and fingerprint near-dup surface the planted pair") {
     val sim = Dedup.simhashNearDup(docs(), "doc_id", "text",
       maxHamming = 12, numBands = 4, minJaccard = 0.5)
