@@ -49,12 +49,6 @@ object Dedup {
       sequence(lit(0), greatest(length(textCol) - k, lit(0))),
       i => substring(textCol, lit(1) + i, lit(k))))
 
-  /** Lowercased alphanumeric word set of a text column (distinct, non-empty).
-    * Mirrors the DuckDB-side `regexp_split_to_array(lower(text),
-    * '[^a-z0-9]+')` so verified pair outputs are oracle-comparable. */
-  def wordSet(textCol: Column): Column =
-    array_distinct(filter(split(lower(textCol), "[^a-z0-9]+"), w => w =!= ""))
-
   /** LSH band keys from a MinHash signature: `numHashes / rowsPerBand`
     * (band, band_hash) structs per row. */
   def minhashBandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
