@@ -46,14 +46,31 @@ object FilterJob {
       // >1 runs that many chunk jobs concurrently (Spark interleaves their
       // stages, overlapping one chunk's write with another's decode);
       // snapshot commits stay serialized, so resume semantics are unchanged
-      parallelChunks: Int = 2
-  )
+      parallelChunks: Int = 2,
+      // input wire format: parquet (binary bytes), jsonl or csv (base64
+      // bytes_b64 — the reference's upload shape, SURVEY S1)
+      format: String = "parquet"
+  ) {
+    require(Set("parquet", "jsonl", "csv").contains(format), s"format $format")
+  }
 
-  def readClips(spark: SparkSession, paths: Seq[String]): Dataset[ClipRow] = {
+  def readClips(spark: SparkSession, paths: Seq[String],
+                format: String = "parquet"): Dataset[ClipRow] = {
     import spark.implicits._
-    spark.read.schema(clipSchema).parquet(paths: _*)
-      .na.fill(Map("transcript" -> ""))
-      .as[ClipRow]
+    format match {
+      case "jsonl" => graft.sources.ClipSources.readJsonl(spark, paths)
+      case "csv"   => graft.sources.ClipSources.readCsv(spark, paths)
+      case _ =>
+        spark.read.schema(clipSchema).parquet(paths: _*)
+          .na.fill(Map("transcript" -> ""))
+          .as[ClipRow]
+    }
+  }
+
+  private def extensionFor(format: String): String = format match {
+    case "jsonl" => ".jsonl"
+    case "csv"   => ".csv"
+    case _       => ".parquet"
   }
 
   /** List input parquet data files, deterministically ordered.
@@ -67,12 +84,14 @@ object FilterJob {
     * at 10^9-file scale a serial recursive listing is the last driver-side
     * bottleneck; directories at each depth are listed concurrently. */
   def listDataFiles(spark: SparkSession, input: String,
-                    listParallelism: Int = 16): Seq[String] = {
+                    listParallelism: Int = 16,
+                    format: String = "parquet"): Seq[String] = {
     val fs = FileSystem.get(new HPath(input).toUri, spark.sparkContext.hadoopConfiguration)
     val roots = graft.table.SnapshotTable.currentSnapshot(input) match {
       case Some(_) => graft.table.SnapshotTable.committedDataDirs(input)
       case None    => Seq(input)
     }
+    val ext = extensionFor(format)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(listParallelism)
     try {
       val files = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -83,7 +102,7 @@ object FilterJob {
             def call(): Seq[HPath] = {
               val st = fs.listStatus(p)
               st.foreach { s =>
-                if (!s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+                if (!s.isDirectory && s.getPath.getName.endsWith(ext))
                   files.add(s.getPath.toString)
               }
               st.collect { case s if s.isDirectory => s.getPath }.toSeq
@@ -109,7 +128,7 @@ object FilterJob {
     // would keep old slices while new chunks used new ones (silent dups /
     // omissions). First run writes the manifest before any chunk commits.
     val files = SnapshotTable.readManifest(args.output).getOrElse {
-      val listed = listDataFiles(spark, args.input)
+      val listed = listDataFiles(spark, args.input, format = args.format)
       SnapshotTable.writeManifest(args.output, listed)
       listed
     }
@@ -122,7 +141,7 @@ object FilterJob {
       val slice = files.zipWithIndex.collect { case (f, i) if i % args.chunks == c => f }
       val counters = new FilterPipeline.Counters(spark)
       if (slice.nonEmpty) {
-        val clips = readClips(spark, slice)
+        val clips = readClips(spark, slice, args.format)
         val (dec, release) =
           FilterPipeline.decisionsManaged(clips, cfg, model, Some(counters))
         // shuffle key = output partition columns + clip_id-hash salt: every

@@ -22,7 +22,8 @@ object Main {
       preset = a.getOrElse("preset", "default"),
       chunks = a.getOrElse("chunks", "8").toInt,
       saltBuckets = a.getOrElse("salt", "8").toInt,
-      parallelChunks = a.getOrElse("parallel", "2").toInt
+      parallelChunks = a.getOrElse("parallel", "2").toInt,
+      format = a.getOrElse("format", "parquet")
     )
 
     val builder = SparkSession.builder().appName("graft-filter")
