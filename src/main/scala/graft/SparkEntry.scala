@@ -317,8 +317,8 @@ object SparkEntry {
       val e = s.read.parquet(t(dir, "embeddings"))
       val q = e.filter(col("vec_id") < 20)
       graft.pipeline.Dedup.knnLsh(e, q, "vec_id", "embedding",
-          dim = 64, k = 5, bands = 16, rowsPerBand = 3)
-        .withColumn("sim", round(col("sim"), 4))
+          dim = 64, k = 5, bands = 24, rowsPerBand = 3)
+        .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     }),
 
