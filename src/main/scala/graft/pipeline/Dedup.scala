@@ -320,13 +320,16 @@ object Dedup {
              sampleN: Int = 2048, seed: Long = 0x1F5EEDL): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = normalizedVecs(emb, idCol, vecCol)
-    // deterministic training sample: hash-filter then bounded collect
+    // deterministic training sample: hash-filter, then the sampleN smallest
+    // ids — orderBy+limit plans as TakeOrderedAndProject (per-partition
+    // top-k, no global sort), so the sample is layout-independent
     val sampled = e
       .filter(pmod(xxhash64(col("id").cast("string")), lit(4)) === 0)
-      .limit(sampleN).collect()
+      .orderBy("id").limit(sampleN).collect()
       .map(_.getSeq[Double](1).toArray)
     val sample = if (sampled.nonEmpty) sampled
-      else e.limit(math.min(sampleN, 64)).collect().map(_.getSeq[Double](1).toArray)
+      else e.orderBy("id").limit(math.min(sampleN, 64)).collect()
+        .map(_.getSeq[Double](1).toArray)
     val cents = graft.functions.Ivf.fit(sample, nCells, iters = 10, seed = seed)
     val assigned = e.withColumn("cell",
       element_at(graft.functions.IvfTopCells.col(col("v"), cents, 1), 1))
