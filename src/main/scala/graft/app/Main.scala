@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   *
   *   spark-submit --class graft.app.Main <jar> \
   *     --input <clips table dir> --output <decision table dir> \
-  *     [--preset default] [--chunks 8] [--salt 32]
+  *     [--preset default] [--chunks 8] [--salt 32] [--parallel 2] \
+  *     [--format parquet|jsonl|csv]
   *
   * Also runnable via `sbt "runMain graft.app.Main ..."` (master defaults to
   * local[*] when not provided by spark-submit).
