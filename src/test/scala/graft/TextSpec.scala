@@ -150,6 +150,33 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("fused trim equivalence: audioFeatures(x, trim=true) == audioFeatures(trimmed x)") {
+    val cfg = graft.model.Presets.default
+    val rng = new Prng(321)
+    val sr = 8000
+    for (trial <- 0 until 6) {
+      // random speech span with random silent edge pads (sometimes none)
+      val lead = rng.nextInt(4) * (sr / 4)
+      val tail = rng.nextInt(4) * (sr / 4)
+      val act = sr / 2 + rng.nextInt(sr)
+      val x = new Array[Float](lead + act + tail)
+      for (i <- 0 until act) {
+        val t = i.toDouble / sr
+        x(lead + i) = ((0.5 + 0.4 * math.sin(2 * math.Pi * 3 * t)) *
+          math.sin(2 * math.Pi * 250 * t)).toFloat
+      }
+      val fused = Heuristics.audioFeatures(x, sr, cfg, trim = true)
+      val (from, until) = Heuristics.trimBounds(x, sr, cfg)
+      val manual = Heuristics.audioFeatures(
+        java.util.Arrays.copyOfRange(x, from, until), sr, cfg, trim = false)
+      assert(fused == manual, s"trial $trial lead=$lead tail=$tail act=$act:\n$fused\n$manual")
+    }
+    // all-silent input: trim is a no-op either way
+    val silent = Array.fill(sr)(0.0f)
+    assert(Heuristics.audioFeatures(silent, sr, cfg, trim = true) ==
+      Heuristics.audioFeatures(silent, sr, cfg, trim = false))
+  }
+
   test("M9 trimBounds: strips edge silence, keeps interior, no-op when all silent") {
     val cfg = graft.model.Presets.default.copy(frameMs = 20)
     val sr = 1000 // frameLen = 20 samples
