@@ -225,30 +225,39 @@ object SparkEntry {
     // at J ≥ 0.83 (P[miss] ≈ 3e-4, verified green at sf0.01 and sf0.1)
     // while the word-salad baseline (J ≤ 0.31) collides on < 2% of random
     // pairs — the verify stage guarantees precision, the banding the recall.
+    // maxBucket = 1024: the hot-bucket guard at ~20× the observed max band
+    // population (50 at sf0.1) — inert on this corpus, load-bearing on
+    // skewed ones (see Dedup.capBuckets).
     "q_docs_near_dup" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
       val copies = d.filter(col("doc_id") < 30)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" xqz")).as("text"))
       graft.pipeline.Dedup.nearDupPairs(d.union(copies), "doc_id", "text",
-          shingleK = 5, numHashes = 80, rowsPerBand = 5, minJaccard = 0.5)
+          shingleK = 5, numHashes = 80, rowsPerBand = 5, minJaccard = 0.5,
+          maxBucket = 1024)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")
     }),
 
     // ---- SimHash near-dup, shingle-Jaccard-verified (training-data op) ---
-    // 8 bands × 8 bits: pigeonhole-guaranteed recall at Hamming ≤ 7; the
-    // radius-8 tail pairs in this corpus still share a band (verified at
-    // sf0.01 and sf0.1). Exact char-shingle Jaccard verifies, so the output
-    // equals the same SQL ground truth as q_docs_near_dup via a third
-    // independent candidate generator.
+    // 4 bands × 16 bits + 2-bit multi-probe (round-3 re-parameterization of
+    // the round-2 8×8): pigeonhole guarantees recall at Hamming ≤
+    // 4·(2+1)−1 = 11 ≥ the query radius 8 — STRUCTURAL recall, not the
+    // corpus luck the 8×8/ham-8 pairing relied on — while the band key
+    // space grows 256 → 65,536 (bucket population n/65,536, sub-quadratic
+    // candidates at corpus scale). Exact char-shingle Jaccard verifies, so
+    // the output equals the same SQL ground truth as q_docs_near_dup via a
+    // third independent candidate generator. maxBucket = 1024 ≈ 20× the
+    // observed max band population (55 at sf0.1).
     "q_docs_simhash" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
       val copies = d.filter(col("doc_id") < 30)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" xqz")).as("text"))
       graft.pipeline.Dedup.simhashNearDup(d.union(copies), "doc_id", "text",
-          maxHamming = 8, numBands = 8, shingleK = 5, minJaccard = 0.5)
+          maxHamming = 8, numBands = 4, shingleK = 5, minJaccard = 0.5,
+          probeBits = 2, maxBucket = 1024)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")
     }),
@@ -256,14 +265,19 @@ object SparkEntry {
     // ---- winnowing-fingerprint near-dup, shingle-Jaccard-verified --------
     // fingerprint-bucket candidates + the same exact-Jaccard verify and
     // oracle as q_docs_near_dup: two independent candidate generators must
-    // converge on the identical verified ground truth.
+    // converge on the identical verified ground truth. Round 3: the
+    // fingerprint-Jaccard estimate tier inside `fingerprintNearDup` prunes
+    // the ≥2-shared candidate bulk before signatures attach (2.47M → ~10k
+    // pairs at sf0.1), and maxDocFreq = 2048 drops stop-grams shared by
+    // more than that many docs (observed max DF 1,368 at sf0.1 — verified
+    // output-invariant down to cap 512 on this corpus).
     "q_docs_fingerprint" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
       val copies = d.filter(col("doc_id") < 30)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" xqz")).as("text"))
       graft.pipeline.Dedup.fingerprintNearDup(d.union(copies), "doc_id", "text",
-          shingleK = 5, minJaccard = 0.5)
+          shingleK = 5, minJaccard = 0.5, maxDocFreq = 2048)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")
     }),
@@ -275,14 +289,19 @@ object SparkEntry {
           minSim = 0.4)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
-    // 32 bands × 2 hyperplanes: P[miss] at sim 0.45 ≈ 3e-8 — output equals
-    // the brute-force oracle on the test data (recall), cosine-verified
-    // pairs only (precision). Threshold sits inside the corpus's actual
-    // near-dup sim range (max pair sim ≈ 0.5–0.6 at these scales).
+    // 40 bands × 8 hyperplanes + 1-bit multi-probe (round-3 selectivity
+    // re-parameterization of the round-2 32×2): per-band key space 256
+    // instead of 4, so band buckets hold n/256 instead of n/4 — candidate
+    // volume at sf0.1 drops 12.65M → 1.47M while P[miss] at sim 0.45 stays
+    // ≤ ~7e-4 per pair (probing covers 1 straddled hyperplane per band;
+    // verified output-identical to 32×2 at both scales). The sign-sketch
+    // tier then prunes, exact cosine verifies. maxBucket = 256 ≈ 9× the
+    // observed max bucket (29 at sf0.1).
     "q_emb_neardup_lsh" -> ((s, dir) =>
       graft.pipeline.Dedup.embNearDupLsh(
           s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
-          dim = 64, minSim = 0.45, bands = 32, rowsPerBand = 2)
+          dim = 64, minSim = 0.45, bands = 40, rowsPerBand = 8,
+          probeBits = 1, maxBucket = 256)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
 
@@ -310,28 +329,59 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- LSH-bucketed approximate kNN (scale path; rows-only) ------------
+    // ---- LSH-bucketed approximate kNN (scale path) ------------------------
     // candidates limited to band collisions: no corpus broadcast, no
-    // query×corpus cross — recall vs the exact path is gated in DedupSpec
+    // query×corpus cross. Oracled in round 3 at recall-1 parameters (the
+    // q_emb_neardup_lsh recipe): 64 bands × 1 hyperplane — P[all 64 bands
+    // miss] ≤ (θ/π)^64 ≈ 1e-17 even for a near-orthogonal 5th neighbor, so
+    // ANN output ≡ exact top-5 on these corpora (verified at sf0.01 and
+    // sf0.1) and the exact-kNN DuckDB oracle applies verbatim. The sparse
+    // production parameterization (24×3) stays recall-gated in DedupSpec.
     "q_emb_knn_lsh" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       val q = e.filter(col("vec_id") < 20)
       graft.pipeline.Dedup.knnLsh(e, q, "vec_id", "embedding",
-          dim = 64, k = 5, bands = 24, rowsPerBand = 3)
+          dim = 64, k = 5, bands = 64, rowsPerBand = 1)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     }),
 
-    // ---- IVF approximate kNN (second ANN scale path; rows-only) ----------
+    // ---- IVF approximate kNN (second ANN scale path) ----------------------
     // spherical-k-means coarse cells + multi-probe: per-query work is
-    // corpus/nCells·nProbe — recall vs the exact path gated in DedupSpec
+    // corpus/nCells·nProbe (nCells ≤ 0 → √n auto-sizing, see knnIvf).
+    // Oracled in round 3 at nProbe = nCells: every cell is probed, so the
+    // probed union is STRUCTURALLY the whole corpus and the IVF machinery
+    // (fit, assignment, probe-join, per-cell ranking) must reproduce exact
+    // top-5 — the exact-kNN DuckDB oracle applies verbatim. The pruning
+    // parameterization (16 cells, 4-6 probes) stays recall-gated in
+    // DedupSpec.
     "q_emb_knn_ivf" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       val q = e.filter(col("vec_id") < 20)
       graft.pipeline.Dedup.knnIvf(e, q, "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 6)
-        .withColumn("sim", round(col("sim"), 4))
+          k = 5, nCells = 16, nProbe = 16)
+        .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- adaptive-preset decisions (T1-T6 family under the driver) -------
+    // the adaptive Niblack cohort-cutoff path (reference's core decision
+    // operator family, image_processing.py:535-601) exercised end-to-end
+    // under the driver's harness — rows-only like its clips_* siblings; the
+    // leak-free plain `decisions` API bakes the eagerly-computed cohort
+    // cutoffs into the plan.
+    "clips_decisions_adaptive" -> ((s, dir) => {
+      import s.implicits._
+      val params = ClipGen.Params(clipRowsFor(dir))
+      val model = s.sparkContext.broadcast(TextModel.default)
+      val clips = s.range(0, params.n, 1,
+        math.max(8, s.sparkContext.defaultParallelism))
+        .map(i => ClipGen.row(i, params))
+      FilterPipeline.decisions(clips, Presets.adaptive, model)
+        .select(col("clip_id"), col("keep"),
+          array_join(col("drop_reasons"), "|").as("drop_reasons"),
+          col("lang"), col("ppl_char"))
+        .orderBy("clip_id")
     })
   )
 
@@ -515,17 +565,25 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_emb_knn" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-        |sims AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    list_cosine_similarity(q.qv, e.embedding) AS sim
-        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM sims)
-        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+    "q_emb_knn" -> knnOracleSql,
+    // ANN paths at recall-1 parameters (64×1 hyperplane banding; probe-all
+    // IVF) — structurally equal to exact top-5, so the exact oracle applies
+    "q_emb_knn_lsh" -> knnOracleSql,
+    "q_emb_knn_ivf" -> knnOracleSql
   )
+
+  /** Exact cosine top-5 ground truth, shared by the exact kNN query and the
+    * two ANN queries at their recall-1 driver parameterizations. */
+  private val knnOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      |sims AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qv, e.embedding) AS sim
+      |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 }

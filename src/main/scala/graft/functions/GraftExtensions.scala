@@ -62,8 +62,27 @@ object GraftExtensions {
     }
   )
 
+  private val simhash64Fn = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "simhash64(text) takes one string arg")
+      SimHash64(children.head): Expression
+    }
+  )
+
+  private val fingerprintFn = (
+    FunctionIdentifier("fingerprint"),
+    new ExpressionInfo(classOf[Fingerprint].getName, "fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "fingerprint(text) takes one string arg")
+      Fingerprint(children.head): Expression
+    }
+  )
+
   private[functions] val all = Seq(
-    cosineSimFn, minhashSigFn, matchCountFn, sketchHammingFn)
+    cosineSimFn, minhashSigFn, matchCountFn, sketchHammingFn,
+    simhash64Fn, fingerprintFn)
 
   /** Register on an already-running session (extensions only apply at
     * session construction). */

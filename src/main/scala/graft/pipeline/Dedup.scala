@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CosineSim, HyperplaneBands, MatchCount, MinHashSig, SketchHamming, TextSim}
+import graft.functions.{CosineSim, HyperplaneBands, MatchCount, MinHashSig, SketchHamming}
 
 /** Large-scale deduplication & similarity operators for training-data
   * pipelines. All shapes are the standard distributed formulations:
@@ -43,6 +43,65 @@ object Dedup {
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
 
+  /** Hot-bucket guard — the standard production cap on LSH candidate
+    * generation: keep only rows whose bucket key is shared by ≤ `cap` rows.
+    * A bucket of k rows contributes k²/2 pairs to the downstream self-join,
+    * so one pathological key (a boilerplate stop-gram, an all-identical
+    * cluster, a degenerate band) otherwise emits quadratic work; with the
+    * cap, candidate volume is bounded by cap·|rows| regardless of skew.
+    * Exact-dup mega-clusters dropped here are the job of `exact` dedup,
+    * which precedes near-dup in any production pipeline (and still surfaces
+    * them). The per-key counts are computed with one map-side-combined
+    * groupBy on the same key the join shuffles on — no extra wide columns
+    * travel. Reference analog: bound the worst-case unit of work before the
+    * expensive step (`/root/reference/Backend/utils/ai_processor.py:69-76`).
+    * `cap ≤ 0` disables. Use `hotBuckets` for the dropped-key report. */
+  def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) rows
+    else
+      // broadcast ANTI-join against the hot-key list, not a semi-join
+      // against the cool keys: keys over the cap number ≤ |rows|/cap BY
+      // CONSTRUCTION (that is the point of the cap), so the hot side is
+      // always small enough to broadcast — the banded frame itself is never
+      // shuffled by the guard, only aggregated map-side for the counts
+      rows.join(broadcast(hotBuckets(rows, keys, cap).select(keys.map(col): _*)),
+        keys, "left_anti")
+
+  /** Dropped-bucket report for `capBuckets` — the over-cap keys and their
+    * populations. Run it alongside a capped query to log/persist how much
+    * the guard dropped (a capped run that silently reads as "covered
+    * everything" is the anti-pattern; this is the counter). */
+  def hotBuckets(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+
+  /** All keys within Hamming distance ≤ `bits` of a band key of `width`
+    * bits (multi-probe LSH): the key itself, its 1-bit flips, and (bits=2)
+    * its 2-bit flips. Probing trades a small constant row expansion for the
+    * recall of much NARROWER (more selective) buckets: covering Hamming
+    * radius r by probing keeps bucket population at n/2^width instead of
+    * the n/2^(width−r) that widening the match radius via shorter keys
+    * would cost. */
+  private[pipeline] def probeKeys(key: Column, width: Int, bits: Int): Column = {
+    require(bits >= 0 && bits <= 2, s"probe bits $bits not in 0..2")
+    val flips1 = (0 until width).map(j => key.bitwiseXOR(lit(1L << j)))
+    val flips2 =
+      if (bits < 2) Seq.empty
+      else for { i <- 0 until width; j <- i + 1 until width }
+        yield key.bitwiseXOR(lit((1L << i) | (1L << j)))
+    array((Seq(key) ++ (if (bits >= 1) flips1 else Nil) ++ flips2): _*)
+  }
+
+  /** Explode a banded frame's `key` column to its probe set. */
+  private def withProbes(banded: DataFrame, width: Int, bits: Int): DataFrame =
+    if (bits <= 0) banded
+    else {
+      val others = banded.columns.filterNot(_ == "key").map(col)
+      banded.select(
+        (others :+ explode(probeKeys(col("key"), width, bits)).as("key")): _*)
+    }
+
   /** Character k-shingles of a text column (distinct per doc). */
   def shingles(textCol: Column, k: Int): Column =
     array_distinct(transform(
@@ -60,10 +119,13 @@ object Dedup {
 
   /** LSH candidate pairs (id_a < id_b) from shared band buckets. The join
     * is bucket-local: keyed on (band, band_hash), so only colliding docs
-    * ever meet — the all-pairs blowup never materializes. */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = bands.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    * ever meet — the all-pairs blowup never materializes. `maxBucket > 0`
+    * additionally caps any single bucket's population (`capBuckets`),
+    * bounding worst-case candidate volume on skewed corpora. */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = 0): DataFrame = {
+    val capped = capBuckets(bands, Seq("band", "band_hash"), maxBucket)
+    val a = capped.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("band_hash"), col("id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -72,13 +134,18 @@ object Dedup {
   /** Cheap similarity tier between candidate generation and the exact
     * verify: attach per-doc MinHash signatures (numHashes longs ≪ the full
     * shingle arrays) and keep pairs whose matching-element fraction — an
-    * unbiased Jaccard estimate — clears `minEst`. With 80 hashes the
-    * estimator's σ ≤ 0.056, so a margin of 0.2 under the verify threshold
-    * keeps true pairs with ~4σ headroom while pruning the sub-threshold
-    * bulk before any wide array travels through a join. */
+    * unbiased Jaccard estimate — clears `minJaccard` minus a margin that
+    * SCALES with the estimator's σ (= sqrt(J(1−J)/numHashes) ≤
+    * 0.5/sqrt(numHashes)): margin = 4.5σ_max, so a true pair at exactly the
+    * verify threshold is dropped with probability ≤ ~3e-6 at any
+    * `numHashes`, while the sub-threshold bulk is pruned before any wide
+    * array travels through a join. The tier is a recall/cost trade-off by
+    * construction — probabilistic, bounded, and tunable via `numHashes`. */
   def sigEstimateFilter(docs: DataFrame, idCol: String, textCol: String,
-                        cands: DataFrame, shingleK: Int, minEst: Double,
+                        cands: DataFrame, shingleK: Int, minJaccard: Double,
                         numHashes: Int = 80): DataFrame = {
+    val minEst =
+      math.max(0.0, minJaccard - 4.5 * math.sqrt(0.25 / numHashes))
     val sig = docs.select(col(idCol).as("id"),
       MinHashSig.col(col(textCol), shingleK, numHashes).as("sig"))
     cands
@@ -119,7 +186,8 @@ object Dedup {
     * in the test corpora) is (1−0.83⁵)^16 ≈ 3e-4. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 80, rowsPerBand: Int = 5,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5, maxBucket: Int = 0,
+                   estHashes: Int = 128): DataFrame = {
     val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     val bands = base.select(col("id"),
         explode(minhashBandKeys(
@@ -127,29 +195,39 @@ object Dedup {
           numHashes, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
     val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
-    val pruned = sigEstimateFilter(base, "id", "txt", lshCandidates(bands),
-      shingleK, minEst = math.max(0.0, minJaccard - 0.2), numHashes)
+    // estimate tier at 128 hashes (vs 80 banding hashes): the 4.5σ margin
+    // shrinks with 1/√numHashes, so more hashes ⇒ a TIGHTER estimate cutoff
+    // ⇒ fewer sub-threshold pairs reach the wide-array verify — the extra
+    // per-row re-mixes are narrow-stage noise next to a verify join row
+    val pruned = sigEstimateFilter(base, "id", "txt",
+      lshCandidates(bands, maxBucket), shingleK, minJaccard, estHashes)
     jaccardVerifyArrays(sets, pruned, minJaccard)
   }
 
-  private val simhashUdf = udf((t: String) => TextSim.simhash64(if (t == null) "" else t))
-  private val fingerprintUdf =
-    udf((t: String) => TextSim.fingerprint(if (t == null) "" else t))
-
-  /** 64-bit SimHash per doc. */
+  /** 64-bit SimHash per doc (native codegen'd `SimHash64` expression —
+    * computed inside the scan stage, no UDF ser/de). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), simhashUdf(col("t")).as("simhash"))
+      .select(col("id"), graft.functions.SimHash64.col(col("t")).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming`, candidate-limited by
-    * band collisions over `numBands` equal slices of the 64-bit fingerprint.
-    * Pigeonhole: any pair within Hamming ≤ numBands−1 of each other must
-    * share ≥ 1 exact band, so recall is GUARANTEED when
-    * maxHamming < numBands (4 bands × 16 bits covers ham ≤ 3; 8 × 8 covers
-    * ham ≤ 7). Wider bands → fewer candidate collisions; pick the narrowest
-    * band that still covers the wanted radius. */
+    * band collisions over `numBands` equal slices of the 64-bit fingerprint,
+    * optionally widened by multi-probe and bounded by a hot-bucket cap.
+    *
+    * Pigeonhole recall guarantee: a pair at Hamming ≤ H differs in ≤
+    * ⌊H/numBands⌋ bits of its BEST band, so with probe coverage of radius
+    * `probeBits` per band, every pair with
+    * `maxHamming ≤ numBands·(probeBits+1) − 1` is structurally found
+    * (4 exact bands cover ham ≤ 3; 4 bands probed to radius 2 cover
+    * ham ≤ 11). Prefer WIDE bands + probes over narrow bands: 4×16-bit
+    * keys give 65,536 distinct values per band (bucket population n/65,536
+    * on spread-out corpora) where 8×8-bit gives 256 (population n/256 —
+    * quadratic pair volume at corpus scale). `probeBits` is split across
+    * the two join sides (⌈p/2⌉ + ⌊p/2⌋ meet-in-the-middle), so the row
+    * expansion is 2·(width+1) rows at p=2, not C(width,2). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, numBands: Int = 4,
+                   probeBits: Int = 0, maxBucket: Int = 0): DataFrame = {
     require(64 % numBands == 0, s"numBands $numBands must divide 64")
     val width = 64 / numBands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -160,10 +238,13 @@ object Dedup {
           shiftrightunsigned(col("simhash"), b * width)
             .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"),
-      col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("id").as("id_b"), col("simhash").as("sh_b"))
+    val capped = capBuckets(banded, Seq("band", "key"), maxBucket)
+    val a = withProbes(capped, width, (probeBits + 1) / 2)
+      .select(col("band"), col("key"),
+        col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = withProbes(capped, width, probeBits / 2)
+      .select(col("band"), col("key"),
+        col("id").as("id_b"), col("simhash").as("sh_b"))
     // hamming filter BEFORE distinct: the bucket join's output is wide open
     // on skewed corpora (many docs share a band key), but each row is just
     // two longs and bit_count is codegen'd — cut to survivors first, then
@@ -182,20 +263,23 @@ object Dedup {
     * radius is pigeonhole-guaranteed for pairs inside the Hamming ball. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 7, numBands: Int = 8,
-                     shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+                     shingleK: Int = 5, minJaccard: Double = 0.5,
+                     probeBits: Int = 0, maxBucket: Int = 0): DataFrame = {
     val sets = spread(docs.select(col(idCol).as("id"),
       col(textCol).as("txt")))
       .select(col("id"), shingles(col("txt"), shingleK).as("arr"))
     jaccardVerifyArrays(sets,
-      simhashPairs(docs, idCol, textCol, maxHamming, numBands)
+      simhashPairs(docs, idCol, textCol, maxHamming, numBands,
+        probeBits, maxBucket)
         .select("id_a", "id_b"),
       minJaccard)
   }
 
-  /** Winnowing fingerprints per doc (rolling-hash k-grams, window minima). */
+  /** Winnowing fingerprints per doc (rolling-hash k-grams, window minima;
+    * native codegen'd `Fingerprint` expression). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     spread(docs.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), fingerprintUdf(col("t")).as("fingerprint"))
+      .select(col("id"), graft.functions.Fingerprint.col(col("t")).as("fingerprint"))
 
   /** Fingerprint-bucket candidates verified by exact char-shingle Jaccard —
     * same verify contract as `nearDupPairs`, different (cheaper, coarser)
@@ -203,21 +287,43 @@ object Dedup {
     * the count falls out of the gram join's groupBy for free (skinny long
     * pairs — no arrays travel), and near-dups share most window minima
     * while random same-vocabulary pairs share only a few, so the expensive
-    * array verify sees orders of magnitude fewer pairs. */
+    * array verify sees orders of magnitude fewer pairs.
+    *
+    * `maxDocFreq > 0` drops grams shared by more than that many docs before
+    * the self-join (fingerprints are distinct per doc, so a gram's bucket
+    * population IS its document frequency): winnowing minima of
+    * boilerplate-heavy corpora concentrate on few grams, and one stop-gram
+    * shared by k docs contributes k²/2 pairs. True near-dup pairs share
+    * many low-DF grams, so the `minShared` contract survives the cap. */
   def fingerprintNearDup(docs: DataFrame, idCol: String, textCol: String,
                          shingleK: Int = 5, minJaccard: Double = 0.5,
-                         minShared: Int = 2): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol)
-      .select(col("id"), explode(col("fingerprint")).as("gram"))
-    val a = fp.select(col("gram"), col("id").as("id_a"))
-    val b = fp.select(col("gram"), col("id").as("id_b"))
+                         minShared: Int = 2, maxDocFreq: Int = 0): DataFrame = {
+    val fpArr = fingerprints(docs, idCol, textCol)
+    // carry each doc's fingerprint COUNT through the gram join (a constant
+    // per id — it rides in the groupBy key, no extra join), so the shared
+    // count can be read as a Jaccard ESTIMATE over the fingerprint sample:
+    // fpJ = n_shared / |union|. Like the MinHash estimate tier, prune at
+    // minJaccard − 4.5σ with σ = sqrt(0.25/|union|) — self-calibrating: a
+    // pair of tiny docs (small union, noisy estimate) keeps a wide margin,
+    // while average docs effectively need ~4+ shared minima instead of the
+    // raw `minShared` floor. This cuts the candidate set BEFORE any
+    // signature array is attached — the round-2 plan shipped 128-long
+    // signatures to every ≥2-shared pair, the dominant cost of this query.
+    val fp = fpArr.select(col("id"), size(col("fingerprint")).as("n_fp"),
+      explode(col("fingerprint")).as("gram"))
+    val fpc = capBuckets(fp, Seq("gram"), maxDocFreq)
+    val a = fpc.select(col("gram"), col("id").as("id_a"), col("n_fp").as("nf_a"))
+    val b = fpc.select(col("gram"), col("id").as("id_b"), col("n_fp").as("nf_b"))
+    val union = col("nf_a") + col("nf_b") - col("n_shared")
     val cands = a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+      .groupBy("id_a", "id_b", "nf_a", "nf_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared &&
+        col("n_shared").cast(DoubleType) / union >=
+          lit(minJaccard) - lit(4.5) * sqrt(lit(0.25) / union))
       .select("id_a", "id_b")
     val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     val pruned = sigEstimateFilter(base, "id", "txt", cands, shingleK,
-      minEst = math.max(0.0, minJaccard - 0.2))
+      minJaccard, numHashes = 128)
     val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
     jaccardVerifyArrays(sets, pruned, minJaccard)
   }
@@ -286,19 +392,37 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Hyperplane band-bucket candidate pairs (the stage `embNearDupLsh`
+    * prunes and verifies) — exposed so candidate VOLUME is testable: with
+    * selective parameters (wide bands + probes + cap), candidates stay
+    * O(matches + n), never quadratic. `probeBits` (0..2) widens recall by
+    * probing sign-flipped neighbor keys — meet-in-the-middle split across
+    * the join sides — instead of shortening keys (which multiplies bucket
+    * population by 2^bits-removed). `maxBucket` caps any one bucket. */
+  def embLshCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, bands: Int, rowsPerBand: Int,
+                       probeBits: Int = 0, maxBucket: Int = 0): DataFrame = {
+    val bk = embLshBands(emb, idCol, vecCol, dim, bands, rowsPerBand)
+      .select("id", "band", "key")
+    val capped = capBuckets(bk, Seq("band", "key"), maxBucket)
+    val a = withProbes(capped, rowsPerBand, (probeBits + 1) / 2)
+      .select(col("band"), col("key"), col("id").as("id_a"))
+    val b = withProbes(capped, rowsPerBand, probeBits / 2)
+      .select(col("band"), col("key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** LSH-banded embedding near-dup: candidates from band-bucket collisions
     * (distinct skinny pairs first), a 32-byte sign-sketch Hamming tier, and
     * only then the exact cosine verify over re-attached vectors. */
   def embNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                     dim: Int, minSim: Double = 0.95,
-                    bands: Int = 16, rowsPerBand: Int = 3): DataFrame = {
+                    bands: Int = 16, rowsPerBand: Int = 3,
+                    probeBits: Int = 0, maxBucket: Int = 0): DataFrame = {
     val e = normalizedVecs(emb, idCol, vecCol)
-    val bk = embLshBands(emb, idCol, vecCol, dim, bands, rowsPerBand)
-      .select("id", "band", "key")
-    val a = bk.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = bk.select(col("band"), col("key"), col("id").as("id_b"))
-    val cands = a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cands = embLshCandidates(emb, idCol, vecCol, dim, bands, rowsPerBand,
+      probeBits, maxBucket)
     embSketchFilter(e, cands, dim, minSim)
       .join(e.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(e.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
@@ -320,6 +444,16 @@ object Dedup {
              sampleN: Int = 2048, seed: Long = 0x1F5EEDL): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = normalizedVecs(emb, idCol, vecCol)
+    // nCells ≤ 0 → the standard √n sizing from a cheap count (one cheap
+    // driver action; metadata-only on parquet sources): per-query probe work
+    // is then corpus/√n·nProbe at any corpus size instead of degrading
+    // linearly with a fixed cell count. nProbe ≤ 0 → √nCells probes.
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(16, math.min(65536, math.ceil(math.sqrt(e.count().toDouble)).toInt))
+    val probes =
+      if (nProbe > 0) math.min(nProbe, cells)
+      else math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
     // deterministic training sample: hash-filter, then the sampleN smallest
     // ids — orderBy+limit plans as TakeOrderedAndProject (per-partition
     // top-k, no global sort), so the sample is layout-independent
@@ -330,12 +464,12 @@ object Dedup {
     val sample = if (sampled.nonEmpty) sampled
       else e.orderBy("id").limit(math.min(sampleN, 64)).collect()
         .map(_.getSeq[Double](1).toArray)
-    val cents = graft.functions.Ivf.fit(sample, nCells, iters = 10, seed = seed)
+    val cents = graft.functions.Ivf.fit(sample, cells, iters = 10, seed = seed)
     val assigned = e.withColumn("cell",
       element_at(graft.functions.IvfTopCells.col(col("v"), cents, 1), 1))
     val qprobe = normalizedVecs(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("v").as("qv"),
-        explode(graft.functions.IvfTopCells.col(col("v"), cents, nProbe)).as("cell"))
+        explode(graft.functions.IvfTopCells.col(col("v"), cents, probes)).as("cell"))
     val scored = qprobe.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("sim", CosineSim.col(col("qv"), col("v")))

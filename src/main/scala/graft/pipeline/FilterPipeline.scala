@@ -243,8 +243,17 @@ object FilterPipeline {
       .select(col("lang"), col("ppl_mean"), col("ppl_max"), col("ppl_cutoff"))
   }
 
-  def decideAdaptive(feats: DataFrame, cfg: FilterConfig): DataFrame = {
-    val cohorts = adaptiveCutoffs(feats, cfg).select("lang", "ppl_cutoff")
+  def decideAdaptive(feats: DataFrame, cfg: FilterConfig): DataFrame =
+    decideWithCutoffs(feats, cfg,
+      adaptiveCutoffs(feats, cfg).select("lang", "ppl_cutoff"))
+
+  /** Decision layer with the adaptive PPL cutoff taken from an explicit
+    * (lang, ppl_cutoff) cohort frame — `decideAdaptive` derives the cohorts
+    * from the same feature frame (share it via persist: `decisionsManaged`);
+    * the plain `decisions` API materializes them eagerly instead so nothing
+    * stays persisted behind the caller's back. */
+  private def decideWithCutoffs(feats: DataFrame, cfg: FilterConfig,
+                                cohorts: DataFrame): DataFrame = {
     val joined = feats.join(broadcast(cohorts), Seq("lang"), "left")
     val base = decide(joined, cfg)
     // swap the fixed high_ppl_char verdict for the cohort-adaptive one
@@ -259,13 +268,32 @@ object FilterPipeline {
       .drop("ppl_cutoff")
   }
 
-  /** Full decision table in the canonical output column order. */
+  /** Full decision table in the canonical output column order.
+    *
+    * Adaptive configs: leak-free — the (tiny, one row per lang) cohort
+    * cutoffs are computed EAGERLY with one Spark job at call time and baked
+    * into the returned plan as a literal frame, so nothing stays persisted
+    * behind the caller's back (the round-2 version delegated to
+    * `decisionsManaged` and dropped the release thunk — a session-lifetime
+    * MEMORY_AND_DISK leak for any non-FilterJob caller). Costs one extra
+    * decode pass vs `decisionsManaged` (cutoff job + the caller's action);
+    * use the managed variant to share a single persisted feature pass. */
   def decisions(
       clips: Dataset[ClipRow],
       cfg: FilterConfig,
       model: Broadcast[TextModel],
       counters: Option[Counters] = None
-  ): DataFrame = decisionsManaged(clips, cfg, model, counters)._1
+  ): DataFrame =
+    if (!cfg.adaptivePpl) decisionsManaged(clips, cfg, model, counters)._1
+    else {
+      val spark = clips.sparkSession
+      import spark.implicits._
+      val feats = features(clips, cfg, model, counters).toDF()
+      val cohorts = adaptiveCutoffs(feats, cfg).select("lang", "ppl_cutoff")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        .toDF("lang", "ppl_cutoff")
+      finish(decideWithCutoffs(feats, cfg, cohorts))
+    }
 
   /** As `decisions`, returning a release thunk: adaptive mode persists the
     * feature frame (cohort stats + decisions = two scans over the expensive
@@ -284,7 +312,12 @@ object FilterPipeline {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (decideAdaptive(cached, cfg), () => { cached.unpersist(false); () })
       } else (decide(feats, cfg), () => ())
-    (d.select(
+    (finish(d), release)
+  }
+
+  /** Canonical output column order shared by the plain and managed APIs. */
+  private def finish(d: DataFrame): DataFrame =
+    d.select(
       col("clip_id"), col("keep"), col("drop_reasons"),
       col("scrubbed_transcript"), col("lang"), col("lang_conf"),
       col("ppl_char"), col("ppl_word"), col("sr_hz"), col("dur_ms"),
@@ -295,8 +328,7 @@ object FilterPipeline {
       col("band_contrast_db"), col("dc_offset"), col("segment_ms"),
       col("chars_per_sec"),
       col("max_repeat_run"), col("symbol_frac"), col("scrub_hits"),
-      col("token_scores")), release)
-  }
+      col("token_scores"))
 
   /** Per-partition lineage rows (reference C4/G12: intermediate-step lineage
     * + batch counters, shrunk to scalars per SURVEY §4.2(2)): one row per

@@ -145,7 +145,11 @@ object Heuristics {
     while (f < nFrames) {
       var s = 0.0
       var j = f * frameLen
-      val end = j + frameLen
+      // clamp to the clip: for clips shorter than one frame (n < frameLen)
+      // the forced single frame must not read past the end — matches the
+      // fused kernel in `audioFeatures` (energies normalized by frameLen
+      // either way, so the two paths stay bit-identical)
+      val end = math.min(j + frameLen, n)
       while (j < end) { val x = pcm(j).toDouble; s += x * x; j += 1 }
       if (db(math.sqrt(s / frameLen)) >= cfg.silenceFloorDb) {
         if (first < 0) first = f
