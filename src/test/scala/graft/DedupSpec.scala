@@ -204,6 +204,138 @@ class DedupSpec extends AnyFunSuite {
       "planted near-dups must be retrieved")
   }
 
+  test("SimHash64 / Fingerprint native expressions: eval + codegen parity") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "", "UPPER case And 123 numbers!", "short")
+    val df = texts.toDF("t")
+    // codegen path (dataframe) vs the pure kernel
+    val rows = df.select(graft.functions.SimHash64.col($"t").as("sh"),
+      graft.functions.Fingerprint.col($"t").as("fp"), $"t").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == TextSim.simhash64(r.getString(2)))
+      assert(r.getSeq[Long](1).toArray.sameElements(TextSim.fingerprint(r.getString(2))))
+    }
+    // interpreted eval path agrees with the kernel too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val lit = (s: String) => Literal.create(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+    assert(graft.functions.SimHash64(lit(texts.head)).eval(null) ==
+      TextSim.simhash64(texts.head))
+    assert(graft.functions.Fingerprint(lit(texts.head)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .toLongArray().sameElements(TextSim.fingerprint(texts.head)))
+    // SQL registration
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64('hello world') AS s, size(fingerprint('hello world')) AS n")
+      .collect()(0)
+    assert(r.getLong(0) == TextSim.simhash64("hello world"))
+    assert(r.getInt(1) == TextSim.fingerprint("hello world").length)
+  }
+
+  test("multi-probe simhash banding: pigeonhole recall at the probed radius") {
+    // plant a pair at a Hamming distance the EXACT 4x16 banding can miss
+    // (ham in 4..11 can straddle every band with 1-2 flipped bits per band)
+    // but 2-bit probing structurally covers (4 bands x (2+1) - 1 = 11)
+    val pairs = Dedup.simhashPairs(docs(), "doc_id", "text",
+      maxHamming = 11, numBands = 4, probeBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs().collect().map(r =>
+      r.getLong(0) -> TextSim.simhash64(r.getString(1))).toMap
+    for {
+      i <- sh.keys; j <- sh.keys if i < j
+      if TextSim.hamming64(sh(i), sh(j)) <= 11
+    } assert(pairs.contains((i, j)),
+      s"pair ($i,$j) at ham ${TextSim.hamming64(sh(i), sh(j))} must be found")
+  }
+
+  test("hot-bucket cap bounds a planted 1000-doc identical cluster") {
+    // 1,000 identical docs + the distinct base docs: uncapped, every LSH
+    // generator would emit ~500k candidate pairs from the clique alone
+    val clique = (1000L until 2000L).map(i =>
+      (i, "totally identical boilerplate text repeated across the corpus"))
+    val base = docs().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val df = (base ++ clique).toDF("doc_id", "text")
+    val n = base.size + clique.size
+
+    // minhash: capped band buckets → bounded candidates, clique dropped
+    val bands = df.select(col("doc_id").as("id"),
+        explode(Dedup.minhashBandKeys(
+          graft.functions.MinHashSig.col(col("text"), 5, 80), 80, 5)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val capped = Dedup.lshCandidates(bands, maxBucket = 50).count()
+    assert(capped <= 50L * n,
+      s"capped minhash candidates $capped must be ≤ cap·n")
+    // the dropped-count side channel reports the clique's hot buckets
+    val hot = Dedup.hotBuckets(bands, Seq("band", "band_hash"), 50)
+      .collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(2) >= 1000),
+      "hot-bucket report must surface the 1000-doc clique")
+
+    // capped near-dup pipelines COMPLETE with bounded work and still find
+    // the non-clique planted pairs; exact dedup still surfaces the clique
+    val nd = Dedup.nearDupPairs(df, "doc_id", "text", maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)) && nd.contains((1L, 5L)),
+      "non-clique near-dups survive the cap")
+    val sp = Dedup.simhashPairs(df, "doc_id", "text",
+      maxHamming = 12, numBands = 4, maxBucket = 50).count()
+    assert(sp <= 50L * n * 4, s"capped simhash candidates $sp bounded")
+    val fd = Dedup.fingerprintNearDup(df, "doc_id", "text", maxDocFreq = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fd.contains((1L, 2L)), "non-clique near-dup survives the DF cap")
+    assert(!fd.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "clique pairs are the exact-dedup pass's job under the cap")
+    val ex = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ex(1000L) == 1000L,
+      "exact dedup still collapses the clique (keeper 1000, 1000 copies)")
+  }
+
+  test("embedding LSH candidate volume stays sub-quadratic at selective params") {
+    val df = embFixture()
+    val n = df.count()
+    // 16 bands × 8 planes + 1-bit probe at sim ≥ 0.95: planted pairs are
+    // found (recall test below) while the 65-vector random corpus emits
+    // far fewer than n²/2 candidates
+    val cands = Dedup.embLshCandidates(df, "vec_id", "embedding", 16,
+      bands = 16, rowsPerBand = 8, probeBits = 1, maxBucket = 16)
+    val c = cands.count()
+    assert(c < n * n / 4, s"candidates $c must be ≪ all-pairs ${n * n / 2}")
+    val lsh = Dedup.embNearDupLsh(df, "vec_id", "embedding", dim = 16,
+      minSim = 0.95, bands = 16, rowsPerBand = 8, probeBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 5).forall(i => lsh.contains((i.toLong, 100L + i))),
+      "planted near-identical pairs found at the selective parameterization")
+  }
+
+  test("probe-all IVF and 64x1-band LSH kNN reproduce exact top-5") {
+    val df = embFixture()
+    val q = df.filter(col("vec_id") < 10)
+    val e = df.selectExpr("vec_id", "cast(embedding as array<double>) v")
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = qv.join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("sim", CosineSim.col(col("qv"), col("v")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    val ivf = Dedup.knnIvf(df, q, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 8, sampleN = 64)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf == exact, "probing every cell must reproduce exact top-5")
+    val lsh = Dedup.knnLsh(df, q, "vec_id", "embedding", dim = 16, k = 5,
+      bands = 64, rowsPerBand = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(lsh == exact, "64 single-plane bands: P[miss] ≈ 0 → exact top-5")
+  }
+
   test("verified simhash and fingerprint near-dup surface the planted pair") {
     val sim = Dedup.simhashNearDup(docs(), "doc_id", "text",
       maxHamming = 12, numBands = 4, minJaccard = 0.5)

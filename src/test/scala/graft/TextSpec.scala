@@ -22,6 +22,34 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("independent OracleText scorer agrees bitwise with the engine") {
+    // the oracle's separately-written lid/pplChar/pplWord (plain-map
+    // lookups, own FNV, per-language loops) must reproduce the engine's
+    // packed-key fast path EXACTLY on held-out sentences of every language
+    // plus adversarial shapes — this is the independent verification of
+    // the language-scoring gate segment (round-2 VERDICT missing #3/#6)
+    val m = TextModel.default
+    val held = LangGen.corpus(40, seed = 987654L)
+    val adversarial = Seq(
+      "xqzvvk jjwpq zzkrtl mmbvnx qqq",          // garbled soup
+      "!!! ### $$$ %%% ^^^ &&&",                  // symbols only
+      "a", "ab", "  spaced   out\ttabs\nnewlines ",
+      "CALL 555-123-4567 or mail a@b.co today")
+    val texts = held.values.flatten.take(160) ++ adversarial
+    texts.foreach { t =>
+      val (l1, c1) = m.lid(t)
+      val (l2, c2) = graft.oracle.OracleText.lid(m, t)
+      assert(l1 == l2, s"lid lang mismatch on '$t': $l1 vs $l2")
+      assert(c1 == c2, s"lid conf mismatch on '$t': $c1 vs $c2")
+      m.langs.foreach { lang =>
+        assert(m.pplChar(t, lang) == graft.oracle.OracleText.pplChar(m, t, lang),
+          s"pplChar mismatch on '$t' lang=$lang")
+        assert(m.pplWord(t, lang) == graft.oracle.OracleText.pplWord(m, t, lang),
+          s"pplWord mismatch on '$t' lang=$lang")
+      }
+    }
+  }
+
   test("char PPL is monotone: garbled text scores higher than clean") {
     val rng = new Prng(31)
     val clean = (0 until 30).map { i =>

@@ -162,12 +162,14 @@ object Oracle {
 
     if (t.isEmpty) reasons += "empty_transcript"
     else {
-      val (lang, conf) = model.lid(t)
+      // independent scorer (OracleText) over the same broadcast artifact —
+      // the engine's lid/pplChar/pplWord never run in this code path
+      val (lang, conf) = OracleText.lid(model, t)
       if (!cfg.acceptedLangs.contains(lang)) reasons += "wrong_language"
       else if (conf < cfg.minLangConf) reasons += "low_lang_conf"
       val pplLang = if (model.langIndex(lang) >= 0) lang else model.langs.head
-      if (model.pplChar(scrubbed, pplLang) > cfg.maxPplChar) reasons += "high_ppl_char"
-      if (model.pplWord(scrubbed, pplLang) > cfg.maxPplWord) reasons += "high_ppl_word"
+      if (OracleText.pplChar(model, scrubbed, pplLang) > cfg.maxPplChar) reasons += "high_ppl_char"
+      if (OracleText.pplWord(model, scrubbed, pplLang) > cfg.maxPplWord) reasons += "high_ppl_word"
       val cps = if (row.dur_ms <= 0) 0.0 else t.length * 1000.0 / row.dur_ms
       if (cps < cfg.minCharsPerSec || cps > cfg.maxCharsPerSec) reasons += "length_ratio"
     }
