@@ -374,13 +374,19 @@ object Dedup {
     * cannot plausibly clear `minSim` are dropped before any full vector
     * travels through a join. The margin is set at +3σ above the threshold
     * angle — candidates at the threshold keep ~3σ headroom. */
-  def embSketchFilter(e: DataFrame, cands: DataFrame, dim: Int,
-                      minSim: Double): DataFrame = {
+  /** +3σ Hamming cutoff for the 252-bit sign sketch at a cosine threshold:
+    * E[ham] = 252·θ/π, σ = sqrt(252·p(1−p)). */
+  private def sketchMaxHam(minSim: Double): Double = {
     val sketchBits = 4 * 63
     val theta = math.acos(math.min(1.0, math.max(-1.0, minSim)))
-    val mean = sketchBits * theta / math.Pi
-    val sigma = math.sqrt(sketchBits * (theta / math.Pi) * (1 - theta / math.Pi))
-    val maxHam = math.min(sketchBits.toDouble, mean + 3.0 * sigma)
+    val p = theta / math.Pi
+    math.min(sketchBits.toDouble,
+      sketchBits * p + 3.0 * math.sqrt(sketchBits * p * (1 - p)))
+  }
+
+  def embSketchFilter(e: DataFrame, cands: DataFrame, dim: Int,
+                      minSim: Double): DataFrame = {
+    val maxHam = sketchMaxHam(minSim)
     val sk = e.select(col("id"),
       HyperplaneBands.col(col("v"), dim, bands = 4, rowsPerBand = 63,
         seed = 0x5EEDCAFEL).as("sk"))
@@ -413,17 +419,42 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** LSH-banded embedding near-dup: candidates from band-bucket collisions
-    * (distinct skinny pairs first), a 32-byte sign-sketch Hamming tier, and
-    * only then the exact cosine verify over re-attached vectors. */
+  /** LSH-banded embedding near-dup: candidates from band-bucket collisions,
+    * a 252-bit sign-sketch Hamming tier, and only then the exact cosine
+    * verify over re-attached vectors.
+    *
+    * The sketch RIDES THROUGH the band join (32 bytes on each banded row)
+    * instead of being attached to candidates by two extra joins afterwards:
+    * the Hamming prune runs inside the join stage, before the distinct, so
+    * the estimate tier costs zero additional exchanges — at any corpus
+    * size the plan is: banded exchange ×2 sides → join+prune → distinct →
+    * two vector-attach joins for the exact verify. */
   def embNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                     dim: Int, minSim: Double = 0.95,
                     bands: Int = 16, rowsPerBand: Int = 3,
                     probeBits: Int = 0, maxBucket: Int = 0): DataFrame = {
     val e = normalizedVecs(emb, idCol, vecCol)
-    val cands = embLshCandidates(emb, idCol, vecCol, dim, bands, rowsPerBand,
-      probeBits, maxBucket)
-    embSketchFilter(e, cands, dim, minSim)
+    val bk = e.select(col("id"),
+        // bucketing bands and the (independent-plane) estimate sketch in
+        // one pass over the vector
+        HyperplaneBands.col(col("v"), dim, bands, rowsPerBand).as("keys"),
+        HyperplaneBands.col(col("v"), dim, bands = 4, rowsPerBand = 63,
+          seed = 0x5EEDCAFEL).as("sk"))
+      .select(col("id"), col("sk"), posexplode(col("keys")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+    val capped = capBuckets(bk, Seq("band", "key"), maxBucket)
+    val a = withProbes(capped, rowsPerBand, (probeBits + 1) / 2)
+      .select(col("band"), col("key"),
+        col("id").as("id_a"), col("sk").as("sk_a"))
+    val b = withProbes(capped, rowsPerBand, probeBits / 2)
+      .select(col("band"), col("key"),
+        col("id").as("id_b"), col("sk").as("sk_b"))
+    val cands = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(SketchHamming.col(col("sk_a"), col("sk_b")) <= sketchMaxHam(minSim))
+      .select("id_a", "id_b").distinct()
+    cands
       .join(e.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(e.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("sim", CosineSim.col(col("v_a"), col("v_b")))
