@@ -26,6 +26,34 @@ object Bench {
   private def best3(f: => Unit): Double =
     (1 to 3).map(_ => timed(f)).min
 
+  /** Same-session raw-CPU control: 64 sha256 units (16 MB each) on a
+    * fixed-size pool. The host oversubscribes vCPUs and its steal level
+    * WANDERS between sessions, so scaling efficiency is only interpretable
+    * against the ceiling measured in the SAME session — this emits it into
+    * the bench JSON (best-of-3 per thread count). */
+  private def rawCpuSecs(threads: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val fs = (1 to 64).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Array[Byte]] {
+            def call(): Array[Byte] = {
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              val buf = new Array[Byte](1 << 20)
+              var i = 0
+              while (i < 16) { md.update(buf); i += 1 }
+              md.digest()
+            }
+          })
+        }
+        fs.foreach(_.get())
+      } finally pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -118,6 +146,13 @@ object Bench {
       spark.stop()
     }
 
+    // same-session host ceiling for the reported pairs (see rawCpuSecs)
+    val rawLow = rawCpuSecs(low)
+    val rawMid = rawCpuSecs(mid)
+    val rawHi = rawCpuSecs(cpus)
+    def rawEff(hiT: Double, hiN: Int, loT: Double, loN: Int): Double =
+      (loT / hiT) / (hiN.toDouble / loN)
+
     def eff(hi: Int, lo: Int): Double =
       ((benchRows / pipe(hi)) / (benchRows / pipe(lo))) / (hi.toDouble / lo)
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -125,6 +160,6 @@ object Bench {
     val tputs = pipe.toSeq.sortBy(_._1)
       .map { case (c, t) => f""""clips_per_sec_n$c":${benchRows / t}%.1f""" }.mkString(",")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,$tputs,"scaling_efficiency":${eff(mid, low)}%.3f,"scaling_pair":"local[$low]->local[$mid]","scaling_efficiency_n$mid-n$cpus":${eff(cpus, mid)}%.3f,"host_raw_cpu_efficiency_8_32":0.65}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,$tputs,"scaling_efficiency":${eff(mid, low)}%.3f,"scaling_pair":"local[$low]->local[$mid]","scaling_efficiency_n$mid-n$cpus":${eff(cpus, mid)}%.3f,"host_raw_eff_same_session_n$low-n$mid":${rawEff(rawMid, mid, rawLow, low)}%.3f,"host_raw_eff_same_session_n$mid-n$cpus":${rawEff(rawHi, cpus, rawMid, mid)}%.3f,"scaling_vs_host_ceiling":${eff(mid, low) / rawEff(rawMid, mid, rawLow, low)}%.3f}""")
   }
 }

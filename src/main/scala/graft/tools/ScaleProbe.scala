@@ -27,8 +27,10 @@ object ScaleProbe {
       spark.stop()
       xs
     }
-    val hi = phase(8, 5)
-    val lo = phase(2, 3)
+    val reps8 = if (args.nonEmpty) args(0).toInt else 5
+    val reps2 = if (args.length > 1) args(1).toInt else 3
+    val hi = phase(8, reps8)
+    val lo = phase(2, reps2)
     println(f"[scale] eff(2->8) = ${(lo.min / hi.min) / 4}%.3f")
   }
 }

@@ -293,6 +293,20 @@ class DedupSpec extends AnyFunSuite {
       "exact dedup still collapses the clique (keeper 1000, 1000 copies)")
   }
 
+  test("capBuckets plans as a broadcast anti-join — the banded frame is not reshuffled") {
+    val bands = docs().select(col("doc_id").as("id"),
+        explode(Dedup.minhashBandKeys(
+          graft.functions.MinHashSig.col(col("text"), 5, 80), 80, 5)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+    val capped = Dedup.capBuckets(bands, Seq("band", "band_hash"), 50)
+    capped.collect() // finalize any adaptive replanning before reading the plan
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"guard must be a broadcast anti-join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the guarded frame must not be sort-merge-reshuffled by the guard")
+  }
+
   test("embedding LSH candidate volume stays sub-quadratic at selective params") {
     val df = embFixture()
     val n = df.count()
