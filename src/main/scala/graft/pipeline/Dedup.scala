@@ -97,9 +97,9 @@ object Dedup {
   private def withProbes(banded: DataFrame, width: Int, bits: Int): DataFrame =
     if (bits <= 0) banded
     else {
-      val others = banded.columns.filterNot(_ == "key").map(col)
+      val others = banded.columns.filterNot(_ == "key").toSeq.map(col)
       banded.select(
-        (others :+ explode(probeKeys(col("key"), width, bits)).as("key")): _*)
+        others :+ explode(probeKeys(col("key"), width, bits)).as("key"): _*)
     }
 
   /** Character k-shingles of a text column (distinct per doc). */
