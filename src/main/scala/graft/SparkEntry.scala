@@ -282,6 +282,35 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- containment near-dup (small-doc-inside-big-doc) -----------------
+    // symmetric Jaccard misses a short document duplicated inside a long
+    // one (J = |A|/|B|); the winnowing fingerprint index catches it —
+    // planted: 120-char prefixes of the first 20 docs as new docs. Verified
+    // by exact shingle containment |A∩B|/min(|A|,|B|) against the same
+    // DuckDB shingle CTE family as the near-dup queries (threshold 0.9:
+    // every corpus pair at ≥ 0.9 sits at exactly 1.0; the next mass is at
+    // ≤ 0.8 — clean margin at both scales).
+    "q_docs_containment" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val prefixes = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          substring(col("text"), 1, 120).as("text"))
+      graft.pipeline.Dedup.containmentPairs(d.union(prefixes), "doc_id", "text",
+          shingleK = 5, minContainment = 0.9, maxDocFreq = 2048)
+        .withColumn("containment", round(col("containment"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- word-3-gram document frequency (boilerplate phrase mining) ------
+    // the aggregate a curation pipeline derives from the corpus to drive
+    // boilerplate drop-lists and contamination probes: distinct docs per
+    // word 3-gram, one map-side-combined shuffle of (gram, df) rows
+    "q_docs_ngram_freq" -> ((s, dir) =>
+      graft.pipeline.TextProfile.ngramDocFreq(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text",
+          n = 3, minDf = 3)
+        .orderBy(col("df").desc, col("gram"))),
+
     // ---- embedding near-dup pairs, brute-force + LSH-banded --------------
     "q_emb_neardup" -> ((s, dir) =>
       graft.pipeline.Dedup.embNearDup(
@@ -565,6 +594,45 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // exact shingle-containment ground truth over docs ∪ planted 120-char
+    // prefixes: |A∩B| / min(|A|,|B|) ≥ 0.9 — the winnowing-index engine
+    // path must converge on the identical verified pair set
+    "q_docs_containment" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, substring(text, 1, 120) AS text
+        |  FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        |SELECT i.id_a, i.id_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.id_a
+        |JOIN sz sb ON sb.doc_id = i.id_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // word-3-gram document frequency: distinct docs per gram, df >= 3;
+    // DuckDB's 1-based inclusive list slice mirrors Spark's slice(ws,i+1,3)
+    "q_docs_ngram_freq" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0, greatest(len(ws) - 3, 0))) AS i
+        |        FROM w))
+        |SELECT gram, count(*) AS df FROM g GROUP BY gram
+        |HAVING count(*) >= 3
+        |ORDER BY df DESC, gram""".stripMargin,
     "q_emb_knn" -> knnOracleSql,
     // ANN paths at recall-1 parameters (64×1 hyperplane banding; probe-all
     // IVF) — structurally equal to exact top-5, so the exact oracle applies

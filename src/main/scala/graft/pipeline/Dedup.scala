@@ -328,6 +328,44 @@ object Dedup {
     jaccardVerifyArrays(sets, pruned, minJaccard)
   }
 
+  /** Containment near-dup (MOSS-style, the winnowing index's home game):
+    * detects a SMALL document duplicated inside a BIG one — quotes,
+    * boilerplate inclusion, doc-in-doc concatenation — which symmetric
+    * Jaccard structurally misses (J = |A|/|B| can be arbitrarily small at
+    * containment 1). Candidates come from the same capped fingerprint gram
+    * index as `fingerprintNearDup` (winnowing guarantees a shared
+    * fingerprint for any shared substring of length ≥ w+k−1); the estimate
+    * tier reads shared-count / min fingerprint count as a containment
+    * estimate with the 4.5σ margin; the verify is exact shingle
+    * containment |A∩B| / min(|A|, |B|). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 5, minContainment: Double = 0.9,
+                       minShared: Int = 2, maxDocFreq: Int = 0): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol)
+      .select(col("id"), size(col("fingerprint")).as("n_fp"),
+        explode(col("fingerprint")).as("gram"))
+    val fpc = capBuckets(fp, Seq("gram"), maxDocFreq)
+    val a = fpc.select(col("gram"), col("id").as("id_a"), col("n_fp").as("nf_a"))
+    val b = fpc.select(col("gram"), col("id").as("id_b"), col("n_fp").as("nf_b"))
+    val minFp = least(col("nf_a"), col("nf_b"))
+    val cands = a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "nf_a", "nf_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared &&
+        col("n_shared").cast(DoubleType) / minFp >=
+          lit(minContainment) - lit(4.5) * sqrt(lit(0.25) / minFp))
+      .select("id_a", "id_b")
+    val sets = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
+      .select(col("id"), shingles(col("txt"), shingleK).as("arr"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("arr").as("arr_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("arr").as("arr_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("containment", col("n_inter").cast(DoubleType) /
+        least(size(col("arr_a")), size(col("arr_b"))))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+  }
+
   // ---- embeddings ----------------------------------------------------------
 
   /** Brute-force cosine near-dup pairs (sim ≥ minSim) via broadcast self-

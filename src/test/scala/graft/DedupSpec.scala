@@ -350,6 +350,46 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, "64 single-plane bands: P[miss] ≈ 0 → exact top-5")
   }
 
+  test("containment pairs: catches small-doc-inside-big-doc that Jaccard misses") {
+    val big = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while herons wade through shallow water hunting small silver fish at dawn " +
+      "and the first light spreads across the quiet valley floor slowly"
+    val contained = big.substring(0, 60) // prefix slice of the big doc
+    val df = Seq(
+      (1L, big),
+      (2L, contained),
+      (3L, "completely unrelated content about catalyst optimizer rules and plans")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text",
+        minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.9),
+      s"contained prefix must be found, got ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // and the symmetric-Jaccard path does NOT consider this a near-dup:
+    // J = |A∩B|/|A∪B| ≈ |small|/|big| ≈ 0.27 < 0.5 — containment is a
+    // genuinely different detector, not a re-labeled near-dup query
+    val j = Dedup.nearDupPairs(df, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)), "Jaccard must miss the contained prefix")
+  }
+
+  test("ngramDocFreq counts distinct docs per word n-gram") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c x"),
+      (3L, "a b c"),
+      (4L, "a b c a b c"), // repeated gram inside one doc counts once
+      (5L, "zz")           // shorter than n → whole text as one gram
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextProfile.ngramDocFreq(df, "doc_id", "text",
+        n = 3, minDf = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a b c") == 4L, s"got $out")
+    assert(!out.contains("b c d"), "df=1 grams filtered")
+    assert(!out.contains("zz"), "short doc's gram has df=1 here")
+  }
+
   test("verified simhash and fingerprint near-dup surface the planted pair") {
     val sim = Dedup.simhashNearDup(docs(), "doc_id", "text",
       maxHamming = 12, numBands = 4, minJaccard = 0.5)
