@@ -16,8 +16,9 @@ object Codecs {
 
   val PcmS16le = "pcm_s16le"
   val Ulaw8    = "ulaw8"
+  val Alaw8    = "alaw8"
   val Adpcm4   = "adpcm4"
-  val known: Set[String] = Set(PcmS16le, Ulaw8, Adpcm4)
+  val known: Set[String] = Set(PcmS16le, Ulaw8, Alaw8, Adpcm4)
 
   /** Decode clip bytes to normalized mono float PCM in [-1, 1).
     * Total function over arbitrary bytes: malformed input → Left(reason). */
@@ -26,6 +27,7 @@ object Codecs {
     else codec match {
       case PcmS16le => decodePcmS16le(bytes)
       case Ulaw8    => Right(decodeUlaw(bytes))
+      case Alaw8    => Right(decodeAlaw(bytes))
       case Adpcm4   => decodeAdpcm(bytes)
       case other    => Left(s"unknown_codec:$other")
     }
@@ -36,6 +38,7 @@ object Codecs {
   def encode(codec: String, samples: Array[Short]): Array[Byte] = codec match {
     case PcmS16le => encodePcmS16le(samples)
     case Ulaw8    => encodeUlaw(samples)
+    case Alaw8    => encodeAlaw(samples)
     case Adpcm4   => encodeAdpcm(samples)
     case other    => throw new IllegalArgumentException(s"unknown codec $other")
   }
@@ -144,6 +147,52 @@ object Codecs {
     val out = new Array[Float](bytes.length)
     var i = 0
     while (i < bytes.length) { out(i) = UlawTable(bytes(i) & 0xFF); i += 1 }
+    out
+  }
+
+  // ---- G.711 A-law ---------------------------------------------------------
+  // Published ITU-T G.711 A-law companding: 13-bit magnitude domain, even
+  // bits inverted on the wire (the 0x55 toggle), segment/mantissa layout
+  // (seg << 4) | mantissa with segment ends 0x1F, 0x3F, … 0xFFF.
+
+  /** Encode one 16-bit sample to A-law (operates on the top 13 bits per
+    * the spec; sign bit SET means non-negative in A-law). */
+  def alawEncodeSample(pcm: Short): Byte = {
+    var s = pcm.toInt >> 3 // 13-bit domain
+    val mask = if (s >= 0) 0xD5 else { s = -s - 1; 0x55 }
+    if (s > 0xFFF) s = 0xFFF
+    // segment = index of the highest set bit above the seg-0 range
+    var seg = 0
+    var end = 0x1F
+    while (seg < 7 && s > end) { seg += 1; end = (end << 1) | 1 }
+    val mantissa = if (seg < 2) (s >> 1) & 0xF else (s >> seg) & 0xF
+    (((seg << 4) | mantissa) ^ mask).toByte
+  }
+
+  def alawDecodeSample(b: Byte): Short = {
+    val u = (b & 0xFF) ^ 0x55
+    val seg = (u >> 4) & 0x07
+    var t = (u & 0x0F) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= seg - 1 }
+    (if ((u & 0x80) != 0) t else -t).toShort
+  }
+
+  def encodeAlaw(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length)
+    var i = 0
+    while (i < samples.length) { out(i) = alawEncodeSample(samples(i)); i += 1 }
+    out
+  }
+
+  // byte→level LUT, same shape as the µ-law decoder
+  private val AlawTable: Array[Float] =
+    Array.tabulate(256)(b => s16ToFloat(alawDecodeSample(b.toByte)))
+
+  def decodeAlaw(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = AlawTable(bytes(i) & 0xFF); i += 1 }
     out
   }
 

@@ -45,6 +45,26 @@ class CodecsSpec extends AnyFunSuite {
     assert(snrDb(ref, dec) > 25.0) // µ-law ≈ 38 dB SQNR on full-scale uniform
   }
 
+  test("alaw8 decode matches independent oracle decode exactly") {
+    // engine: shift-accumulate spec decoder; oracle: closed-form
+    // (2m+1)·8 / (2m+33)·2^(e+2) magnitude expression — all 256 codes
+    val bytes = Array.tabulate(256)(i => i.toByte)
+    assert(Codecs.decodeAlaw(bytes).sameElements(Oracle.decodeAlaw(bytes)),
+      "all 256 A-law codes must agree")
+  }
+
+  test("alaw8 round-trip SNR is high; encode/decode are spec-consistent") {
+    val w = randWave(7, 8000)
+    val dec = Codecs.decodeAlaw(Codecs.encodeAlaw(w))
+    val ref = w.map(_ / 32768.0f)
+    assert(snrDb(ref, dec) > 25.0) // A-law ≈ 37 dB SQNR on uniform input
+    // re-encoding a decoded level is a fixed point (companding idempotence)
+    val codes = Array.tabulate(256)(i => i.toByte)
+    val levels = codes.map(Codecs.alawDecodeSample)
+    assert(levels.indices.forall(i =>
+      Codecs.alawDecodeSample(Codecs.alawEncodeSample(levels(i))) == levels(i)))
+  }
+
   test("adpcm4 decode matches independent oracle decode exactly (SNR gate ∞)") {
     val w = randWave(3, 10000)
     val enc = Codecs.encodeAdpcm(w)
@@ -60,7 +80,8 @@ class CodecsSpec extends AnyFunSuite {
   }
 
   test("engine vs oracle decode SNR >= 30 dB across codecs (gate)") {
-    for ((codec, seed) <- Seq(Codecs.PcmS16le -> 5L, Codecs.Ulaw8 -> 6L, Codecs.Adpcm4 -> 7L)) {
+    for ((codec, seed) <- Seq(Codecs.PcmS16le -> 5L, Codecs.Ulaw8 -> 6L,
+        Codecs.Alaw8 -> 9L, Codecs.Adpcm4 -> 7L)) {
       val w = randWave(seed, 16000)
       val enc = Codecs.encode(codec, w)
       val Right(engine) = Codecs.decode(codec, enc)
@@ -71,7 +92,7 @@ class CodecsSpec extends AnyFunSuite {
 
   test("decode is total: never throws on arbitrary bytes (property, 2000 cases)") {
     val rng = new Prng(99)
-    val codecs = IndexedSeq("pcm_s16le", "ulaw8", "adpcm4", "junk")
+    val codecs = IndexedSeq("pcm_s16le", "ulaw8", "alaw8", "adpcm4", "junk")
     for (_ <- 0 until 2000) {
       val codec = codecs(rng.nextInt(codecs.length))
       val bytes = Array.fill(rng.nextInt(512))(rng.nextLong().toByte)

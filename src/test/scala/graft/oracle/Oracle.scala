@@ -27,6 +27,21 @@ object Oracle {
       pcm / 32768.0f
     }
 
+  /** G.711 A-law decode via the closed-form magnitude expression
+    * (independent of the engine's shift-accumulate form):
+    * mag = (2m+1)·8 for segment 0, (2m+33)·2^(e+2) otherwise; the wire
+    * byte has its even bits toggled (xor 0x55) and sign bit SET means
+    * non-negative. */
+  def decodeAlaw(bytes: Array[Byte]): Array[Float] =
+    bytes.map { b =>
+      val u = (b & 0xFF) ^ 0x55
+      val e = (u >> 4) & 7
+      val m = u & 0xF
+      val mag = if (e == 0) (2 * m + 1) << 3 else (2 * m + 33) << (e + 2)
+      val pcm = if ((u & 0x80) != 0) mag else -mag
+      pcm / 32768.0f
+    }
+
   def decodePcm16(bytes: Array[Byte]): Option[Array[Float]] =
     if (bytes.isEmpty || bytes.length % 2 != 0) None
     else Some {
@@ -76,6 +91,7 @@ object Oracle {
     else codec match {
       case "pcm_s16le" => decodePcm16(bytes)
       case "ulaw8"     => Some(decodeUlaw(bytes))
+      case "alaw8"     => Some(decodeAlaw(bytes))
       case "adpcm4"    => decodeAdpcm(bytes)
       case _           => None
     }
