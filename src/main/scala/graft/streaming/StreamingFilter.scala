@@ -43,6 +43,23 @@ object StreamingFilter {
       col("ppl_char"), col("ppl_word"), col("codec"))
   }
 
+  /** Streaming exact dedup: first-seen transcript wins inside the watermark
+    * horizon — the streaming analog of the batch `Dedup.exact` pass that
+    * precedes near-dup in a curation pipeline. State is BOUNDED:
+    * `dropDuplicatesWithinWatermark` expires a key once the watermark
+    * passes its arrival + delay, so the state store holds only the recent
+    * horizon (an unbounded `dropDuplicates` would grow forever on a
+    * 10^12-clip stream). Dedup key is the 64-bit transcript hash — 8 bytes
+    * of state per distinct recent transcript, not the text. */
+  def dedupByTranscript(decisions: DataFrame,
+                        delay: String = "2 minutes"): DataFrame =
+    decisions
+      .withColumn("arrival_ts", current_timestamp())
+      .withColumn("text_hash", xxhash64(col("scrubbed_transcript")))
+      .withWatermark("arrival_ts", delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .drop("arrival_ts", "text_hash")
+
   /** Continuous keep/drop telemetry: windowed per-language decision counts
     * with a watermark (the streaming analog of the lineage rollup). Event
     * time is the micro-batch arrival time (clips carry no timestamp). */

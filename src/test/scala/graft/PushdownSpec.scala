@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Scan-efficiency plan gates: predicates must reach the parquet reader
+  * (`PushedFilters`) and the read schema must shrink to the referenced
+  * columns (`ReadSchema`) — a scan that decodes every column for a
+  * two-column projection is wrong at any scale, and catastrophic at 100 TB.
+  * Declarative queries get both for free from Catalyst; these tests pin
+  * that property so a refactor that breaks it (e.g. an opaque UDF in the
+  * filter) fails loudly. */
+class PushdownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_pushdown").toString
+    (0L until 1000L).map(i => (i, s"body of document $i", (i % 7).toInt))
+      .toDF("doc_id", "text", "shard")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("filter pushes down to the parquet scan and columns prune") {
+    val df = spark.read.parquet(dir)
+      .filter(col("doc_id") < 30)
+      .select("doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("LessThan(doc_id,30)"),
+      s"doc_id predicate must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only the projected columns:\n$plan")
+    assert(!plan.contains("shard:int"),
+      "unreferenced column must not be decoded")
+  }
+
+  test("dedup signature queries prune the documents scan to (id, text)") {
+    // the near-dup pipeline touches only two columns of a (possibly wide)
+    // documents table — the scan must reflect that
+    val wide = spark.read.parquet(dir)
+    val pairs = graft.pipeline.Dedup.nearDupPairs(wide, "doc_id", "text")
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"dedup scan must prune to the two referenced columns:\n$plan")
+  }
+}

@@ -47,6 +47,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup keeps one row per distinct transcript, bounded state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dd").toString
+    val params = ClipGen.Params(60, seed = 33, maxDurMs = 1200)
+    GenMain.generate(spark, dir, params, files = 2)
+
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val deduped = StreamingFilter.dedupByTranscript(
+      StreamingFilter.decisions(spark, dir, Presets.default, model))
+    assert(deduped.isStreaming)
+
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-dd-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("stream_dedup")
+      .select("clip_id", "scrubbed_transcript").collect()
+    val texts = rows.map(_.getString(1))
+    assert(texts.distinct.length == texts.length,
+      "no transcript may appear twice after the dedup stage")
+    // the fixture plants duplicate transcripts across clips → dedup must
+    // actually have removed rows, and every distinct transcript survives
+    val batchTexts = FilterPipeline.decisions(
+        spark.range(60).map(i => ClipGen.row(i, params)), Presets.default, model)
+      .select("scrubbed_transcript").collect().map(_.getString(0))
+    assert(rows.length == batchTexts.distinct.length,
+      s"one survivor per distinct transcript (${rows.length} vs ${batchTexts.distinct.length})")
+    assert(rows.length < 60, "fixture contains duplicate transcripts to drop")
+  }
+
   test("windowed decision counts stream aggregates with a watermark") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-in2").toString
