@@ -311,6 +311,18 @@ object SparkEntry {
           n = 3, minDf = 3)
         .orderBy(col("df").desc, col("gram"))),
 
+    // ---- deterministic content-stable corpus split ------------------------
+    // leakage-safe train/val/test assignment as a pure function of
+    // md5(doc_id): stable across runs/engines/partitionings/corpus growth
+    // (seeded sample() cannot guarantee any of that); DuckDB reproduces the
+    // identical split from the same hex-prefix comparison
+    "q_docs_split" -> ((s, dir) =>
+      graft.pipeline.TextProfile.hashSplit(
+          s.read.parquet(t(dir, "documents")).select("doc_id"),
+          "doc_id", testFrac = 0.1, valFrac = 0.1)
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     // ---- embedding near-dup pairs, brute-force + LSH-banded --------------
     "q_emb_neardup" -> ((s, dir) =>
       graft.pipeline.Dedup.embNearDup(
@@ -633,6 +645,14 @@ object SparkEntry {
         |SELECT gram, count(*) AS df FROM g GROUP BY gram
         |HAVING count(*) >= 3
         |ORDER BY df DESC, gram""".stripMargin,
+    // same md5 hex-prefix cut points as TextProfile.hashSplit: 0.1 → the
+    // first 8 hex chars below floor(0.1·2^32) = 0x19999999, 0.2 → 0x33333333
+    "q_docs_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_emb_knn" -> knnOracleSql,
     // ANN paths at recall-1 parameters (64×1 hyperplane banding; probe-all
     // IVF) — structurally equal to exact top-5, so the exact oracle applies

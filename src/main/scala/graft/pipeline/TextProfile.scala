@@ -31,4 +31,26 @@ object TextProfile {
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
   }
+
+  /** Deterministic, content-stable train/val/test split: the standard
+    * leakage-safe way to split a corpus. The split is a pure function of
+    * the id's md5 (no RNG, no state), so it is identical across runs,
+    * partitionings, engines, and corpus growth — a document NEVER migrates
+    * between splits when more data arrives, which is what seeded `sample()`
+    * cannot guarantee. Implementation compares the first 8 hex chars of
+    * md5(id) lexicographically against cut points (hex strings order the
+    * same as their values), so any engine with md5 reproduces it exactly.
+    * Assignment order: [0, testFrac) → test, [testFrac, testFrac+valFrac)
+    * → val, rest → train. */
+  def hashSplit(docs: DataFrame, idCol: String,
+                testFrac: Double = 0.1, valFrac: Double = 0.1): DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac <= 1,
+      s"bad split fractions test=$testFrac val=$valFrac")
+    def cut(f: Double): String = f"${math.floor(f * 4294967296.0).toLong}%08x"
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    docs.withColumn("split",
+      when(h < lit(cut(testFrac)), "test")
+        .when(h < lit(cut(testFrac + valFrac)), "val")
+        .otherwise("train"))
+  }
 }

@@ -374,6 +374,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!j.contains((1L, 2L)), "Jaccard must miss the contained prefix")
   }
 
+  test("hashSplit: deterministic, fraction-accurate, stable under corpus growth") {
+    val small = (0L until 2000L).toDF("doc_id")
+    val s1 = graft.pipeline.TextProfile.hashSplit(small, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic: identical on recompute
+    val s2 = graft.pipeline.TextProfile.hashSplit(small, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    // fractions within binomial noise of 10/10/80
+    val n = s1.size.toDouble
+    assert(math.abs(s1.values.count(_ == "test") / n - 0.1) < 0.03)
+    assert(math.abs(s1.values.count(_ == "val") / n - 0.1) < 0.03)
+    // content-stable: growing the corpus never migrates an existing doc
+    val big = (0L until 4000L).toDF("doc_id")
+    val s3 = graft.pipeline.TextProfile.hashSplit(big, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.forall { case (id, sp) => s3(id) == sp },
+      "split assignment must be a pure function of the id")
+  }
+
   test("ngramDocFreq counts distinct docs per word n-gram") {
     val df = Seq(
       (1L, "a b c d"),
