@@ -311,6 +311,33 @@ object SparkEntry {
           n = 3, minDf = 3)
         .orderBy(col("df").desc, col("gram"))),
 
+    // ---- intra-document repetition (Gopher-rule family) -------------------
+    // fraction of word-3-gram OCCURRENCES that repeat an earlier gram in
+    // the same doc — catches non-consecutive copy-paste loops that the
+    // consecutive-run rule (H2) misses; pure per-row column exprs
+    "q_docs_repetition" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          graft.pipeline.TextProfile.repetitionScore(col("text"), 3)
+            .as("rep_ratio"))
+        .orderBy("doc_id")),
+
+    // ---- per-source (domain-level) quality aggregates ---------------------
+    // the C4-style source-level filter table: every statistic derives from
+    // exact integer sums (order-independent → bit-identical to DuckDB)
+    "q_docs_source_quality" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val len = length(col("text"))
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(len < 50, 1L).otherwise(0L)).as("n_short"),
+          sum(len.cast("long")).as("total_chars"),
+          round(sum(punct.cast("long")).cast(DoubleType) /
+            sum(len.cast("long")), 6).as("punct_ratio"))
+        .orderBy("source")
+    }),
+
     // ---- deterministic content-stable corpus split ------------------------
     // leakage-safe train/val/test assignment as a pure function of
     // md5(doc_id): stable across runs/engines/partitionings/corpus growth
@@ -645,6 +672,27 @@ object SparkEntry {
         |SELECT gram, count(*) AS df FROM g GROUP BY gram
         |HAVING count(*) >= 3
         |ORDER BY df DESC, gram""".stripMargin,
+    // intra-doc repetition: occurrences minus distinct per doc, same gram
+    // builder as q_docs_ngram_freq
+    "q_docs_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0, greatest(len(ws) - 3, 0))) AS i
+        |        FROM w))
+        |SELECT doc_id,
+        |  round(CAST(count(*) - count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS rep_ratio
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // source-level stats from exact integer sums only
+    "q_docs_source_quality" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN length(text) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))) AS DOUBLE)
+        |    / sum(length(text)), 6) AS punct_ratio
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // same md5 hex-prefix cut points as TextProfile.hashSplit: 0.1 → the
     // first 8 hex chars below floor(0.1·2^32) = 0x19999999, 0.2 → 0x33333333
     "q_docs_split" ->

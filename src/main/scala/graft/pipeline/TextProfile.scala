@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-profile operators for training-data curation: the aggregate
@@ -30,6 +30,21 @@ object TextProfile {
       .distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
+  }
+
+  /** Intra-document repetition score (the Gopher-rule family): the
+    * fraction of word n-gram OCCURRENCES that are repeats of an n-gram
+    * already seen in the same document — catches non-consecutive
+    * copy-paste loops that a max-consecutive-run rule (H2) misses. Pure
+    * per-row column expressions: no shuffle, no state, codegen'd. */
+  def repetitionScore(textCol: Column, n: Int = 3): Column = {
+    require(n >= 1, s"ngram size $n")
+    val ws = split(textCol, " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(ws) - n, lit(0))),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    round((size(grams) - size(array_distinct(grams))).cast("double") /
+      size(grams), 6)
   }
 
   /** Deterministic, content-stable train/val/test split: the standard

@@ -394,6 +394,20 @@ class DedupSpec extends AnyFunSuite {
       "split assignment must be a pure function of the id")
   }
 
+  test("repetitionScore: repeated-gram fraction, zero for novel text") {
+    val df = Seq(
+      (1L, "a a a b"),          // 2-grams: "a a","a a","a b" → 1/3 repeat
+      (2L, "w x y z"),          // all distinct → 0
+      (3L, "p q p q p q")       // "p q","q p","p q","q p","p q" → 3/5
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.pipeline.TextProfile.repetitionScore(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 0.333333) < 1e-6, s"got ${out(1L)}")
+    assert(out(2L) == 0.0)
+    assert(math.abs(out(3L) - 0.6) < 1e-6, s"got ${out(3L)}")
+  }
+
   test("ngramDocFreq counts distinct docs per word n-gram") {
     val df = Seq(
       (1L, "a b c d"),
