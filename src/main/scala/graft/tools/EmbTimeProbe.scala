@@ -1,6 +1,10 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Parameter-sweep timing probe for embNearDupLsh: bands × rowsPerBand ×
+  * probeBits × maxBucket combos with warm best-of-3 and pair counts — how
+  * the 40×8+1-probe re-parameterization and its cap cost were measured. */
 object EmbTimeProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

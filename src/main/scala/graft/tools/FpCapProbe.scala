@@ -3,6 +3,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.Dedup
 
+/** Output-invariance + timing probe for fingerprintNearDup's guards: runs
+  * the pipeline with/without the stop-gram DF cap and reports pair-set
+  * deltas against the uncapped baseline — how the q_docs_fingerprint cap
+  * value was validated (equal output down to cap 512 on these corpora). */
 object FpCapProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
