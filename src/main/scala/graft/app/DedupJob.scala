@@ -1,0 +1,132 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** spark-submit entry for corpus deduplication — the library's dedup
+  * operators as a runnable job over a documents table
+  * `(id, text, …)`:
+  *
+  *   spark-submit --class graft.app.DedupJob <jar> \
+  *     --input <documents parquet> --output <dir> \
+  *     [--mode exact|minhash|simhash|fingerprint|containment] \
+  *     [--id doc_id] [--text text] [--minJaccard 0.5] \
+  *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536]
+  *
+  * Outputs under --output:
+  *   pairs/        verified duplicate pairs (or keepers/ for exact mode)
+  *   hot_buckets/  the dropped-key report of the hot-bucket guard — a
+  *                 capped run that silently reads as "covered everything"
+  *                 is the anti-pattern; this table is the counter
+  *   summary printed as [dedup] lines (pair counts, dropped buckets).
+  *
+  * Near-dup modes assume `exact` ran first (the standard pipeline order):
+  * the hot-bucket guard deliberately drops identical-text mega-clusters,
+  * whose pairs exact dedup surfaces at a groupBy's cost, not a join's.
+  */
+object DedupJob {
+
+  final case class Args(
+      input: String, output: String, mode: String = "minhash",
+      idCol: String = "doc_id", textCol: String = "text",
+      minJaccard: Double = 0.5, minContainment: Double = 0.9,
+      maxBucket: Int = 65536, maxDocFreq: Int = 65536)
+
+  def run(spark: SparkSession, a: Args): Map[String, Long] = {
+    val docs = spark.read.parquet(a.input)
+
+    def write(df: DataFrame, name: String): Long = {
+      df.write.mode("overwrite").parquet(s"${a.output}/$name")
+      spark.read.parquet(s"${a.output}/$name").count()
+    }
+
+    // the dropped-key report matching the mode's candidate bucket key
+    def hotReport(): DataFrame = a.mode match {
+      case "minhash" =>
+        val bands = docs.select(col(a.idCol).as("id"),
+            explode(Dedup.minhashBandKeys(
+              graft.functions.MinHashSig.col(col(a.textCol), 5, 80), 80, 5)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
+        Dedup.hotBuckets(bands, Seq("band", "band_hash"), a.maxBucket)
+      case "simhash" =>
+        val sh = Dedup.simhash(docs, a.idCol, a.textCol)
+        val banded = sh.select(col("id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("simhash"), b * 16)
+                .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.key"))
+        Dedup.hotBuckets(banded, Seq("band", "key"), a.maxBucket)
+      case "fingerprint" | "containment" =>
+        val fp = Dedup.fingerprints(docs, a.idCol, a.textCol)
+          .select(col("id"), explode(col("fingerprint")).as("gram"))
+        Dedup.hotBuckets(fp, Seq("gram"), a.maxDocFreq)
+      case _ => spark.emptyDataFrame
+    }
+
+    a.mode match {
+      case "exact" =>
+        val n = write(Dedup.exact(docs, a.idCol, a.textCol), "keepers")
+        Map("keepers" -> n)
+      case "minhash" =>
+        val n = write(Dedup.nearDupPairs(docs, a.idCol, a.textCol,
+          minJaccard = a.minJaccard, maxBucket = a.maxBucket), "pairs")
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets"))
+      case "simhash" =>
+        val n = write(Dedup.simhashNearDup(docs, a.idCol, a.textCol,
+          maxHamming = 8, numBands = 4, minJaccard = a.minJaccard,
+          probeBits = 2, maxBucket = a.maxBucket), "pairs")
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets"))
+      case "fingerprint" =>
+        val n = write(Dedup.fingerprintNearDup(docs, a.idCol, a.textCol,
+          minJaccard = a.minJaccard, maxDocFreq = a.maxDocFreq), "pairs")
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets"))
+      case "containment" =>
+        val n = write(Dedup.containmentPairs(docs, a.idCol, a.textCol,
+          minContainment = a.minContainment, maxDocFreq = a.maxDocFreq), "pairs")
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets"))
+      case other => sys.error(s"unknown --mode $other")
+    }
+  }
+
+  def main(rawArgs: Array[String]): Unit = {
+    val m = parse(rawArgs.toList, Map.empty)
+    val a = Args(
+      input = m.getOrElse("input", sys.error("--input required")),
+      output = m.getOrElse("output", sys.error("--output required")),
+      mode = m.getOrElse("mode", "minhash"),
+      idCol = m.getOrElse("id", "doc_id"),
+      textCol = m.getOrElse("text", "text"),
+      minJaccard = m.getOrElse("minJaccard", "0.5").toDouble,
+      minContainment = m.getOrElse("minContainment", "0.9").toDouble,
+      maxBucket = m.getOrElse("maxBucket", "65536").toInt,
+      maxDocFreq = m.getOrElse("maxDocFreq", "65536").toInt)
+
+    val builder = SparkSession.builder().appName("graft-dedup")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    val spark = sys.props.get("spark.master")
+      .fold(builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]")))(_ => builder)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val counts = run(spark, a)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[dedup] mode=${a.mode} completed in $secs%.1fs")
+    counts.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"[dedup]   $k = $v") }
+    spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case key :: value :: rest if key.startsWith("--") =>
+        parse(rest, acc + (key.drop(2) -> value))
+      case other => sys.error(s"cannot parse args at $other")
+    }
+}

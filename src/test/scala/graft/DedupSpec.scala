@@ -424,6 +424,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains("zz"), "short doc's gram has df=1 here")
   }
 
+  test("DedupJob runs each mode end to end and writes pairs + hot-bucket report") {
+    val in = java.nio.file.Files.createTempDirectory("graft_dj_in").toString
+    // base docs + a clique that must land in the hot-bucket report
+    val clique = (500L until 560L).map(i =>
+      (i, "identical clique text shared by sixty documents in this corpus"))
+    (docs().collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ clique)
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+
+    val exactOut = java.nio.file.Files.createTempDirectory("graft_dj_ex").toString
+    val ex = graft.app.DedupJob.run(spark,
+      graft.app.DedupJob.Args(in, exactOut, mode = "exact"))
+    assert(ex("keepers") == 5L, s"4 distinct base texts + clique, got $ex")
+
+    val mhOut = java.nio.file.Files.createTempDirectory("graft_dj_mh").toString
+    val mh = graft.app.DedupJob.run(spark,
+      graft.app.DedupJob.Args(in, mhOut, mode = "minhash", maxBucket = 16))
+    val pairs = spark.read.parquet(s"$mhOut/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair survives the cap")
+    assert(mh("hot_buckets") > 0L,
+      "the 60-doc clique must appear in the dropped-key report")
+    assert(!pairs.exists(p => p._1 >= 500L && p._2 >= 500L),
+      "clique pairs are exact dedup's job under the cap")
+  }
+
   test("verified simhash and fingerprint near-dup surface the planted pair") {
     val sim = Dedup.simhashNearDup(docs(), "doc_id", "text",
       maxHamming = 12, numBands = 4, minJaccard = 0.5)
