@@ -282,6 +282,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- duplicate-cluster components (pairs → keepers) ------------------
+    // transitive closure over the SAME verified pair set as q_docs_near_dup:
+    // a∼b, b∼c collapse to one component even when a∼c was never emitted —
+    // the step that makes pair output actionable (one keeper per cluster).
+    // Engine: iterative min-label propagation (diameter rounds of skinny
+    // joins); oracle: DuckDB recursive-CTE reachability over the same pairs
+    "q_docs_components" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val copies = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text"))
+      val pairs = graft.pipeline.Dedup.nearDupPairs(d.union(copies),
+        "doc_id", "text", shingleK = 5, numHashes = 80, rowsPerBand = 5,
+        minJaccard = 0.5, maxBucket = 1024)
+      graft.pipeline.Dedup.components(pairs)
+        .select(col("id"), col("comp").as("component"))
+        .orderBy("id")
+    }),
+
     // ---- containment near-dup (small-doc-inside-big-doc) -----------------
     // symmetric Jaccard misses a short document duplicated inside a long
     // one (J = |A|/|B|); the winnowing fingerprint index catches it —
@@ -633,6 +652,37 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // recursive-CTE reachability over the exact-Jaccard pair set: component
+    // = min id reachable (the engine's label-propagation fixpoint)
+    "q_docs_components" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+        |SELECT u AS id, least(u, min(v)) AS component
+        |FROM reach GROUP BY u ORDER BY id""".stripMargin,
     // exact shingle-containment ground truth over docs ∪ planted 120-char
     // prefixes: |A∩B| / min(|A|,|B|) ≥ 0.9 — the winnowing-index engine
     // path must converge on the identical verified pair set

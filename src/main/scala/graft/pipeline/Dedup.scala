@@ -366,6 +366,54 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Connected components over duplicate pairs — the step that turns a
+    * pair list into CLUSTERS so a keeper can be chosen per component
+    * (pairs alone under-delete: a∼b, b∼c must collapse to one keeper even
+    * when a∼c was never emitted). Iterative min-label propagation, the
+    * standard shuffle-join formulation: each round every vertex takes the
+    * minimum component label among itself and its neighbors; rounds needed
+    * = graph diameter (dup clusters are shallow — near-dup graphs are
+    * near-cliques), each round is one join + one map-side-combined min
+    * aggregation on skinny (long, long) rows. `localCheckpoint` cuts the
+    * growing lineage every round so the plan stays O(1) regardless of
+    * round count (blocks are freed by the context cleaner).
+    *
+    * Returns (id, component) for every id appearing in `pairs`, with
+    * component = the minimum id of its cluster — deterministic. */
+  def components(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u").as("id")).agg(min("vcomp").as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = updated
+      round += 1
+    }
+    labels
+  }
+
+  /** Keeper per duplicate cluster: the minimum id of each component plus
+    * the cluster size — `exact`'s contract lifted to near-dup clusters. */
+  def keepers(pairs: DataFrame): DataFrame =
+    components(pairs)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("comp").as("keeper_id"), col("cluster_size"))
+
   // ---- embeddings ----------------------------------------------------------
 
   /** Brute-force cosine near-dup pairs (sim ≥ minSim) via broadcast self-

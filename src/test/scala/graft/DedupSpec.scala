@@ -424,6 +424,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains("zz"), "short doc's gram has df=1 here")
   }
 
+  test("components: chains and separate cliques collapse to min-id labels") {
+    // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L),
+      s"got $comp")
+    val k = Dedup.keepers(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k == Map(1L -> 4L, 10L -> 3L, 20L -> 2L), s"got $k")
+  }
+
   test("DedupJob runs each mode end to end and writes pairs + hot-bucket report") {
     val in = java.nio.file.Files.createTempDirectory("graft_dj_in").toString
     // base docs + a clique that must land in the hot-bucket report
