@@ -13,14 +13,26 @@ import graft.pipeline.Dedup
   *     --input <documents parquet> --output <dir> \
   *     [--mode exact|minhash|simhash|fingerprint|containment] \
   *     [--id doc_id] [--text text] [--minJaccard 0.5] \
-  *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536]
+  *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536] \
+  *     [--cluster true] [--checkpointDir <reliable dir>]
   *
   * Outputs under --output:
   *   pairs/        verified duplicate pairs (or keepers/ for exact mode)
   *   hot_buckets/  the dropped-key report of the hot-bucket guard — a
   *                 capped run that silently reads as "covered everything"
   *                 is the anti-pattern; this table is the counter
+  *   components/   (near-dup modes with --cluster true) the (id, comp)
+  *                 cluster labels from large-star/small-star contraction
+  *                 over the written pairs — a user running a near-dup mode
+  *                 gets actionable one-keeper-per-cluster output, not a
+  *                 pair list they still have to cluster
+  *   keepers/      (with --cluster true) (keeper_id, cluster_size) per
+  *                 component, derived from the written components table
   *   summary printed as [dedup] lines (pair counts, dropped buckets).
+  *
+  * --checkpointDir: reliable-storage checkpoint location for the
+  * clustering contraction (cluster mode durability; defaults to fast
+  * non-replicated localCheckpoint — see Dedup.components).
   *
   * Near-dup modes assume `exact` ran first (the standard pipeline order):
   * the hot-bucket guard deliberately drops identical-text mega-clusters,
@@ -32,7 +44,8 @@ object DedupJob {
       input: String, output: String, mode: String = "minhash",
       idCol: String = "doc_id", textCol: String = "text",
       minJaccard: Double = 0.5, minContainment: Double = 0.9,
-      maxBucket: Int = 65536, maxDocFreq: Int = 65536)
+      maxBucket: Int = 65536, maxDocFreq: Int = 65536,
+      cluster: Boolean = false, checkpointDir: Option[String] = None)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val docs = spark.read.parquet(a.input)
@@ -66,6 +79,20 @@ object DedupJob {
       case _ => spark.emptyDataFrame
     }
 
+    // pairs → clusters → keepers, from the WRITTEN pairs table (read back,
+    // not recomputed): components labels every id, keepers derive from the
+    // written components table — one contraction, two outputs
+    def clusterOut(): Map[String, Long] =
+      if (!a.cluster) Map.empty
+      else {
+        val p = spark.read.parquet(s"${a.output}/pairs")
+        val nc = write(
+          Dedup.components(p, checkpointDir = a.checkpointDir), "components")
+        val nk = write(Dedup.keepersFromComponents(
+          spark.read.parquet(s"${a.output}/components")), "keepers")
+        Map("components" -> nc, "keepers" -> nk)
+      }
+
     a.mode match {
       case "exact" =>
         val n = write(Dedup.exact(docs, a.idCol, a.textCol), "keepers")
@@ -73,20 +100,24 @@ object DedupJob {
       case "minhash" =>
         val n = write(Dedup.nearDupPairs(docs, a.idCol, a.textCol,
           minJaccard = a.minJaccard, maxBucket = a.maxBucket), "pairs")
-        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets"))
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets")) ++
+          clusterOut()
       case "simhash" =>
         val n = write(Dedup.simhashNearDup(docs, a.idCol, a.textCol,
           maxHamming = 8, numBands = 4, minJaccard = a.minJaccard,
           probeBits = 2, maxBucket = a.maxBucket), "pairs")
-        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets"))
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets")) ++
+          clusterOut()
       case "fingerprint" =>
         val n = write(Dedup.fingerprintNearDup(docs, a.idCol, a.textCol,
           minJaccard = a.minJaccard, maxDocFreq = a.maxDocFreq), "pairs")
-        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets"))
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets")) ++
+          clusterOut()
       case "containment" =>
         val n = write(Dedup.containmentPairs(docs, a.idCol, a.textCol,
           minContainment = a.minContainment, maxDocFreq = a.maxDocFreq), "pairs")
-        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets"))
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets")) ++
+          clusterOut()
       case other => sys.error(s"unknown --mode $other")
     }
   }
@@ -102,7 +133,9 @@ object DedupJob {
       minJaccard = m.getOrElse("minJaccard", "0.5").toDouble,
       minContainment = m.getOrElse("minContainment", "0.9").toDouble,
       maxBucket = m.getOrElse("maxBucket", "65536").toInt,
-      maxDocFreq = m.getOrElse("maxDocFreq", "65536").toInt)
+      maxDocFreq = m.getOrElse("maxDocFreq", "65536").toInt,
+      cluster = m.getOrElse("cluster", "false").toBoolean,
+      checkpointDir = m.get("checkpointDir"))
 
     val builder = SparkSession.builder().appName("graft-dedup")
       .config("spark.sql.adaptive.enabled", "true")

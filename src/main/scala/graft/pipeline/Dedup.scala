@@ -55,17 +55,24 @@ object Dedup {
     * groupBy on the same key the join shuffles on — no extra wide columns
     * travel. Reference analog: bound the worst-case unit of work before the
     * expensive step (`/root/reference/Backend/utils/ai_processor.py:69-76`).
-    * `cap ≤ 0` disables. Use `hotBuckets` for the dropped-key report. */
-  def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    * `cap ≤ 0` disables. Use `hotBuckets` for the dropped-key report.
+    *
+    * `broadcastHot`: the hot-key list numbers ≤ |rows|/cap BY CONSTRUCTION
+    * (that is the point of the cap), so for production caps (2^10..2^16) it
+    * broadcasts comfortably and the banded frame is never shuffled by the
+    * guard. With a SMALL cap on a billion-row input that bound can still be
+    * millions of keys — pass `broadcastHot = false` there to drop the hint
+    * and let the planner (AQE) pick shuffle vs broadcast from the measured
+    * size instead of forcing driver-side collection. */
+  def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int,
+                 broadcastHot: Boolean = true): DataFrame =
     if (cap <= 0) rows
-    else
-      // broadcast ANTI-join against the hot-key list, not a semi-join
-      // against the cool keys: keys over the cap number ≤ |rows|/cap BY
-      // CONSTRUCTION (that is the point of the cap), so the hot side is
-      // always small enough to broadcast — the banded frame itself is never
-      // shuffled by the guard, only aggregated map-side for the counts
-      rows.join(broadcast(hotBuckets(rows, keys, cap).select(keys.map(col): _*)),
-        keys, "left_anti")
+    else {
+      // ANTI-join against the hot-key list, not a semi-join against the
+      // cool keys: the hot side is the small one
+      val hot = hotBuckets(rows, keys, cap).select(keys.map(col): _*)
+      rows.join(if (broadcastHot) broadcast(hot) else hot, keys, "left_anti")
+    }
 
   /** Dropped-bucket report for `capBuckets` — the over-cap keys and their
     * populations. Run it alongside a capped query to log/persist how much
@@ -369,47 +376,130 @@ object Dedup {
   /** Connected components over duplicate pairs — the step that turns a
     * pair list into CLUSTERS so a keeper can be chosen per component
     * (pairs alone under-delete: a∼b, b∼c must collapse to one keeper even
-    * when a∼c was never emitted). Iterative min-label propagation, the
-    * standard shuffle-join formulation: each round every vertex takes the
-    * minimum component label among itself and its neighbors; rounds needed
-    * = graph diameter (dup clusters are shallow — near-dup graphs are
-    * near-cliques), each round is one join + one map-side-combined min
-    * aggregation on skinny (long, long) rows. `localCheckpoint` cuts the
-    * growing lineage every round so the plan stays O(1) regardless of
-    * round count (blocks are freed by the context cleaner).
+    * when a∼c was never emitted).
     *
-    * Returns (id, component) for every id appearing in `pairs`, with
-    * component = the minimum id of its cluster — deterministic. */
-  def components(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
-        .groupBy(col("u").as("id")).agg(min("vcomp").as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = updated
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = updated
-      round += 1
+    * Algorithm: alternating large-star / small-star edge contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — converges in O(log² n) rounds on ANY graph, where the
+    * round-3 min-label propagation needed O(diameter) rounds (duplicate
+    * CHAINS — templated docs a∼b∼c∼… — are exactly the adversarial case).
+    * Each half-step is one self-join + one map-side-combined min
+    * aggregation over skinny (long, long) rows; both halves of a round
+    * share one lineage and ONE materializing Spark job (the per-round
+    * checkpoint), with convergence detected from accumulators filled
+    * DURING that same job — no separate driver action per round.
+    *
+    *  - large-star(u): connect every neighbor v > u to
+    *    m = min(N(u) ∪ {u}) — long chains collapse toward small labels;
+    *  - small-star(u): orient edges large→small, connect every smaller
+    *    neighbor (and u) to the minimum — local stars form.
+    *
+    * At the fixpoint the edge set is a star per component rooted at the
+    * component's MINIMUM node id (deterministic). Convergence = the
+    * (count, order-independent hash-sum) checksum of the edge set repeating
+    * across rounds, accumulated inside the checkpoint job itself.
+    *
+    * Non-convergence is LOUD: exceeding `maxRounds` (default 50 ≫ the
+    * O(log² n) bound for any feasible corpus) throws IllegalStateException
+    * rather than silently returning partial clusters.
+    *
+    * Durability: `localCheckpoint` truncates lineage in executor memory —
+    * fast, but non-replicated (an executor loss mid-job on a real cluster
+    * is unrecoverable). For cluster runs pass `checkpointDir` to cut
+    * lineage through reliable storage (HDFS/object store) instead.
+    *
+    * Ids must be integral (they travel as longs — 16-byte rows is the
+    * design point); map string ids through a dictionary or hash first.
+    *
+    * Returns (id, comp) for every id appearing in `pairs`, with
+    * comp = the minimum id of its cluster — deterministic. */
+  def components(pairs: DataFrame, maxRounds: Int = 50,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      // m = min(N(u) ∪ {u}); both branches need hashpartitioning(u), so the
+      // symmetric-neighbor exchange is planned once and reused
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
     }
-    labels
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient large→small: d.u > d.v for every row (self-loops never enter)
+      val d = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = d.groupBy("u").agg(min("v").as("m"))
+      d.join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("u"), col("b").as("v"))
+        .distinct()
+    }
+
+    /** Materialize one round's edge set with its checksum accumulated in
+      * the SAME job: the mapPartitions pass-through fills the accumulators
+      * while the (eager) checkpoint computes the partitions. */
+    def materialize(e: DataFrame): (DataFrame, Long, Long) = {
+      val cnt = sc.longAccumulator("cc_edges")
+      val sum = sc.longAccumulator("cc_hashsum")
+      val tagged = e.select(col("u").as("_1"), col("v").as("_2"))
+        .as[(Long, Long)].mapPartitions { it =>
+        it.map { case (a, b) =>
+          cnt.add(1L)
+          // order-independent set checksum: SUM of a 64-bit mix per edge
+          // (wrapping add); byteswap64 is Scala's public murmur-style mixer
+          sum.add(scala.util.hashing.byteswap64(a * 0x9E3779B97F4A7C15L ^ b))
+          (a, b)
+        }
+      }.toDF("u", "v")
+      val mat =
+        if (checkpointDir.isDefined) tagged.checkpoint()
+        else tagged.localCheckpoint()
+      (mat, cnt.value, sum.value)
+    }
+
+    var (edges, prevCnt, prevSum) = materialize(
+      pairs.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"components: no convergence after $maxRounds rounds " +
+            s"(edge checksum still moving: n=$prevCnt) — raise maxRounds")
+      val (next, cnt, sum) = materialize(smallStar(largeStar(edges)))
+      converged = cnt == prevCnt && sum == prevSum
+      edges = next; prevCnt = cnt; prevSum = sum
+    }
+    // fixpoint edge set = one star per component, rooted at the minimum id
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
   }
 
   /** Keeper per duplicate cluster: the minimum id of each component plus
     * the cluster size — `exact`'s contract lifted to near-dup clusters. */
   def keepers(pairs: DataFrame): DataFrame =
-    components(pairs)
+    keepersFromComponents(components(pairs))
+
+  /** Keepers from an already-computed (id, comp) label frame — lets a job
+    * that persists the component table derive keepers from it without
+    * recomputing the contraction. */
+  def keepersFromComponents(labels: DataFrame): DataFrame =
+    labels
       .groupBy("comp")
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("comp").as("keeper_id"), col("cluster_size"))

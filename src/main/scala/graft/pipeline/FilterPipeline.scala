@@ -288,11 +288,18 @@ object FilterPipeline {
     else {
       val spark = clips.sparkSession
       import spark.implicits._
-      val feats = features(clips, cfg, model, counters).toDF()
-      val cohorts = adaptiveCutoffs(feats, cfg).select("lang", "ppl_cutoff")
+      // the cohort-cutoff job runs a COUNTER-FREE feature pass: the returned
+      // plan re-evaluates features (that second decode pass is the
+      // documented cost of the leak-free plain API), so threading `counters`
+      // through both passes would double-count every accumulator relative
+      // to `decisionsManaged`. Counters are incremented exactly once — by
+      // the caller's action on the returned frame.
+      val cutoffFeats = features(clips, cfg, model, None).toDF()
+      val cohorts = adaptiveCutoffs(cutoffFeats, cfg).select("lang", "ppl_cutoff")
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
         .toDF("lang", "ppl_cutoff")
-      finish(decideWithCutoffs(feats, cfg, cohorts))
+      finish(decideWithCutoffs(
+        features(clips, cfg, model, counters).toDF(), cfg, cohorts))
     }
 
   /** As `decisions`, returning a release thunk: adaptive mode persists the

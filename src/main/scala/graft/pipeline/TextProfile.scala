@@ -61,7 +61,13 @@ object TextProfile {
                 testFrac: Double = 0.1, valFrac: Double = 0.1): DataFrame = {
     require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac <= 1,
       s"bad split fractions test=$testFrac val=$valFrac")
-    def cut(f: Double): String = f"${math.floor(f * 4294967296.0).toLong}%08x"
+    // a fraction of exactly 1.0 would format as 9 hex chars ('100000000'),
+    // which sorts BEFORE 8-char prefixes lexicographically — clamp to a
+    // sentinel that sorts after every hex string instead ('g' > 'f')
+    def cut(f: Double): String = {
+      val v = math.floor(f * 4294967296.0).toLong
+      if (v >= 0x100000000L) "g" else f"$v%08x"
+    }
     val h = substring(md5(col(idCol).cast("string")), 1, 8)
     docs.withColumn("split",
       when(h < lit(cut(testFrac)), "test")

@@ -49,16 +49,30 @@ object StreamingFilter {
     * `dropDuplicatesWithinWatermark` expires a key once the watermark
     * passes its arrival + delay, so the state store holds only the recent
     * horizon (an unbounded `dropDuplicates` would grow forever on a
-    * 10^12-clip stream). Dedup key is the 64-bit transcript hash — 8 bytes
-    * of state per distinct recent transcript, not the text. */
+    * 10^12-clip stream).
+    *
+    * Dedup key (default): the compound (64-bit transcript hash, transcript
+    * length) — ~12 bytes of state per distinct recent transcript, not the
+    * text. A distinct clip is silently dropped only on a SAME-LENGTH 64-bit
+    * hash collision (~2^-64 per colliding pair within the watermark
+    * horizon); at extreme scale or zero collision tolerance pass
+    * `exactState = true` to key on the transcript itself — exact, at the
+    * cost of storing the full text in the state store. */
   def dedupByTranscript(decisions: DataFrame,
-                        delay: String = "2 minutes"): DataFrame =
-    decisions
+                        delay: String = "2 minutes",
+                        exactState: Boolean = false): DataFrame = {
+    val wm = decisions
       .withColumn("arrival_ts", current_timestamp())
-      .withColumn("text_hash", xxhash64(col("scrubbed_transcript")))
       .withWatermark("arrival_ts", delay)
-      .dropDuplicatesWithinWatermark("text_hash")
-      .drop("arrival_ts", "text_hash")
+    val deduped =
+      if (exactState) wm.dropDuplicatesWithinWatermark("scrubbed_transcript")
+      else wm
+        .withColumn("text_hash", xxhash64(col("scrubbed_transcript")))
+        .withColumn("text_len", length(col("scrubbed_transcript")))
+        .dropDuplicatesWithinWatermark("text_hash", "text_len")
+        .drop("text_hash", "text_len")
+    deduped.drop("arrival_ts")
+  }
 
   /** Continuous keep/drop telemetry: windowed per-language decision counts
     * with a watermark (the streaming analog of the lineage rollup). Event

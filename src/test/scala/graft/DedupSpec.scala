@@ -394,6 +394,22 @@ class DedupSpec extends AnyFunSuite {
       "split assignment must be a pure function of the id")
   }
 
+  test("hashSplit: boundary fractions summing to 1.0 assign every doc") {
+    // floor(1.0·2^32) formats as NINE hex chars — without the sentinel
+    // clamp, '100000000' sorts before 8-char md5 prefixes and silently
+    // sends almost everything to 'train'
+    val ids = (0L until 500L).toDF("doc_id")
+    val allTest = graft.pipeline.TextProfile
+      .hashSplit(ids, "doc_id", testFrac = 1.0, valFrac = 0.0)
+      .collect().map(_.getString(1))
+    assert(allTest.forall(_ == "test"), "testFrac = 1.0 → every doc is test")
+    val noTrain = graft.pipeline.TextProfile
+      .hashSplit(ids, "doc_id", testFrac = 0.3, valFrac = 0.7)
+      .collect().map(_.getString(1))
+    assert(!noTrain.contains("train"), "test+val = 1.0 → no train docs")
+    assert(noTrain.count(_ == "test") > 0 && noTrain.count(_ == "val") > 0)
+  }
+
   test("repetitionScore: repeated-gram fraction, zero for novel text") {
     val df = Seq(
       (1L, "a a a b"),          // 2-grams: "a a","a a","a b" → 1/3 repeat
@@ -439,6 +455,40 @@ class DedupSpec extends AnyFunSuite {
     assert(k == Map(1L -> 4L, 10L -> 3L, 20L -> 2L), s"got $k")
   }
 
+  test("components: 500-node chain converges in O(log² n) rounds, not diameter") {
+    // a path graph is the adversarial case for label propagation (diameter
+    // 499 → the round-3 algorithm needed ~499 rounds and silently gave up
+    // at 64); large-star/small-star must finish within ~2·log²(500) ≈ 20 —
+    // maxRounds = 20 doubles as the assertion: exceeding it throws
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain, maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 500 && comp.values.forall(_ == 0L),
+      s"all 500 chain nodes must label 0, got ${comp.values.toSet}")
+  }
+
+  test("components: non-convergence is loud, not silent") {
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.components(chain, maxRounds = 1).count()
+    }
+    assert(ex.getMessage.contains("no convergence"), ex.getMessage)
+  }
+
+  test("components: reliable-checkpoint mode produces identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val viaReliable = Dedup.components(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable == viaLocal, s"$viaReliable vs $viaLocal")
+    // the reliable mode actually wrote RDD checkpoints to the dir
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty, "checkpoint dir empty")
+  }
+
   test("DedupJob runs each mode end to end and writes pairs + hot-bucket report") {
     val in = java.nio.file.Files.createTempDirectory("graft_dj_in").toString
     // base docs + a clique that must land in the hot-bucket report
@@ -462,6 +512,22 @@ class DedupSpec extends AnyFunSuite {
       "the 60-doc clique must appear in the dropped-key report")
     assert(!pairs.exists(p => p._1 >= 500L && p._2 >= 500L),
       "clique pairs are exact dedup's job under the cap")
+  }
+
+  test("DedupJob --cluster writes components + keepers for a near-dup mode") {
+    val in = java.nio.file.Files.createTempDirectory("graft_djc_in").toString
+    docs().write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_djc_out").toString
+    val m = graft.app.DedupJob.run(spark,
+      graft.app.DedupJob.Args(in, out, mode = "minhash", cluster = true))
+    // docs 1, 2, 5 form one near-dup cluster (1∼2 near, 1∼5 exact)
+    assert(m("pairs") >= 2L && m.contains("components") && m.contains("keepers"), s"$m")
+    val comp = spark.read.parquet(s"$out/components")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 5L -> 1L), s"got $comp")
+    val k = spark.read.parquet(s"$out/keepers")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k == Map(1L -> 3L), s"one keeper (id 1, cluster of 3), got $k")
   }
 
   test("verified simhash and fingerprint near-dup surface the planted pair") {
