@@ -54,6 +54,18 @@ object SparkEntry {
       p
     })
 
+  /** documents ∪ planted span-duplication cases for the span-dedup queries:
+    * exact copies (every span a dup) and tail-edited copies (every FULL
+    * span a dup, the modified final span not). */
+  private def spanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+    d.union(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text")))
+  }
+
   private def clipsDF(s: SparkSession, dir: String) = {
     import s.implicits._
     val params = ClipGen.Params(clipRowsFor(dir))
@@ -339,6 +351,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- span-level exact dedup (repeated-paragraph removal) -------------
+    // document-level dedup misses a verbatim span shared across globally
+    // distinct documents (licenses, boilerplate); this pass hashes 10-word
+    // spans and elects one keeper per distinct span — only (id, idx, md5)
+    // rows shuffle, keeper choice is a map-side-combined min(struct), and
+    // the mask is the reference's emitted line-mask artifact per doc
+    // (image_processing.py:887). Planted: exact copies (+300000) and
+    // tail-edited copies (+400000) of the first 20 docs — full spans dup,
+    // the edited final span does not.
+    "q_docs_span_dedup" -> ((s, dir) =>
+      graft.pipeline.Spans.dedup(
+          graft.pipeline.Spans.wordChunks(spanCorpus(s, dir),
+            "doc_id", "text", chunkWords = 10))
+        .withColumn("is_dup", col("is_dup").cast("int"))
+        .orderBy("id", "span_idx")),
+    "q_docs_span_mask" -> ((s, dir) =>
+      graft.pipeline.Spans.dupMask(graft.pipeline.Spans.dedup(
+          graft.pipeline.Spans.wordChunks(spanCorpus(s, dir),
+            "doc_id", "text", chunkWords = 10)))
+        .orderBy("id")),
+
     // ---- word-3-gram document frequency (boilerplate phrase mining) ------
     // the aggregate a curation pipeline derives from the corpus to drive
     // boilerplate drop-lists and contamination probes: distinct docs per
@@ -387,6 +420,18 @@ object SparkEntry {
           "doc_id", testFrac = 0.1, valFrac = 0.1)
         .select("doc_id", "split")
         .orderBy("doc_id")),
+
+    // ---- train/test contamination probe ----------------------------------
+    // hashSplit's held-out test docs joined against the train split's word
+    // 3-gram document frequencies: per test doc, how many of its distinct
+    // grams leak from train, and the worst offender (max train DF, ties →
+    // smallest gram). The composition of q_docs_split and q_docs_ngram_freq
+    // that answers "is my eval set contaminated?"
+    "q_docs_contamination" -> ((s, dir) =>
+      graft.pipeline.TextProfile.contamination(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text",
+          n = 3, testFrac = 0.1, valFrac = 0.1)
+        .orderBy("id")),
 
     // ---- embedding near-dup pairs, brute-force + LSH-banded --------------
     "q_emb_neardup" -> ((s, dir) =>
@@ -729,6 +774,25 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = i.id_b
         |WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // span-level exact dedup ground truth: same 10-word chunking (DuckDB's
+    // 1-based inclusive list slice mirrors Spark's slice(ws, j*10+1, 10)),
+    // same md5 span hash, keeper = first (id, span_idx) per hash
+    "q_docs_span_dedup" ->
+      s"""$spanCte
+        |SELECT id, span_idx, span_hash, keeper_id, keeper_span_idx, n_copies,
+        |  CASE WHEN id = keeper_id AND span_idx = keeper_span_idx
+        |       THEN 0 ELSE 1 END AS is_dup
+        |FROM d ORDER BY id, span_idx""".stripMargin,
+    // per-doc dup-span mask over the same dedup: '0'/'1' per span in span
+    // order (the reference's line-mask artifact, image_processing.py:887)
+    "q_docs_span_mask" ->
+      s"""$spanCte
+        |SELECT id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN id = keeper_id AND span_idx = keeper_span_idx
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_spans,
+        |  string_agg(CASE WHEN id = keeper_id AND span_idx = keeper_span_idx
+        |                  THEN '0' ELSE '1' END, '' ORDER BY span_idx) AS dup_mask
+        |FROM d GROUP BY id ORDER BY id""".stripMargin,
     // word-3-gram document frequency: distinct docs per gram, df >= 3;
     // DuckDB's 1-based inclusive list slice mirrors Spark's slice(ws,i+1,3)
     "q_docs_ngram_freq" ->
@@ -771,12 +835,76 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // contamination probe: same md5 split cut points as q_docs_split, same
+    // gram builder as q_docs_ngram_freq; worst gram by (train_df DESC,
+    // gram ASC) row_number in both engines
+    "q_docs_contamination" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |w AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp),
+        |g AS (
+        |  SELECT DISTINCT doc_id, split,
+        |    array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS gram
+        |  FROM (SELECT doc_id, split, ws,
+        |          unnest(generate_series(0, greatest(len(ws) - 3, 0))) AS i
+        |        FROM w)),
+        |tdf AS (SELECT gram, count(*) AS train_df FROM g
+        |        WHERE split = 'train' GROUP BY gram),
+        |tg AS (SELECT doc_id, gram FROM g WHERE split = 'test'),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+        |hits AS (SELECT tg.doc_id, tg.gram, tdf.train_df
+        |         FROM tg JOIN tdf USING (gram)),
+        |worst AS (
+        |  SELECT doc_id, gram, train_df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY train_df DESC, gram) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_contaminated
+        |  FROM hits)
+        |SELECT ng.doc_id AS id, ng.n_grams,
+        |  CAST(COALESCE(w2.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  round(CAST(COALESCE(w2.n_contaminated, 0) AS DOUBLE) / ng.n_grams, 6) AS contamination_frac,
+        |  COALESCE(w2.gram, '') AS worst_gram,
+        |  CAST(COALESCE(w2.train_df, 0) AS BIGINT) AS worst_df
+        |FROM ng LEFT JOIN (SELECT * FROM worst WHERE rn = 1) w2 USING (doc_id)
+        |ORDER BY id""".stripMargin,
     "q_emb_knn" -> knnOracleSql,
     // ANN paths at recall-1 parameters (64×1 hyperplane banding; probe-all
     // IVF) — structurally equal to exact top-5, so the exact oracle applies
     "q_emb_knn_lsh" -> knnOracleSql,
     "q_emb_knn_ivf" -> knnOracleSql
   )
+
+  /** Shared CTE family for the span-dedup oracles: planted corpus →
+    * 10-word chunks → md5 → windowed keeper election. */
+  private val spanCte: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id < 20
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, text || ' xqz' AS text
+      |  FROM documents WHERE doc_id < 20),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+      |sp AS (
+      |  SELECT doc_id AS id, CAST(j AS BIGINT) AS span_idx,
+      |    trim(array_to_string(ws[CAST(j*10+1 AS INTEGER):CAST(j*10+10 AS INTEGER)], ' ')) AS span
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(0,
+      |            greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1, 0))) AS j
+      |        FROM w)),
+      |h AS (SELECT id, span_idx, md5(span) AS span_hash FROM sp
+      |      WHERE length(span) > 0),
+      |d AS (
+      |  SELECT id, span_idx, span_hash,
+      |    first_value(id) OVER win AS keeper_id,
+      |    first_value(span_idx) OVER win AS keeper_span_idx,
+      |    count(*) OVER (PARTITION BY span_hash) AS n_copies
+      |  FROM h
+      |  WINDOW win AS (PARTITION BY span_hash ORDER BY id, span_idx
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))""".stripMargin
 
   /** Exact cosine top-5 ground truth, shared by the exact kNN query and the
     * two ANN queries at their recall-1 driver parameterizations. */

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Span-level (paragraph-level) exact deduplication — the standard
+  * training-data pass that removes REPEATED SPANS across documents
+  * (boilerplate paragraphs, licenses, navigation chrome) which
+  * document-level dedup structurally misses: two documents can be globally
+  * distinct while sharing a verbatim paragraph a million times over.
+  *
+  * This is the text analog of the reference's per-line mask lineage: its
+  * cleaning pipeline emits the removed-line mask (`6_line_mask`) as a
+  * first-class intermediate (`/root/reference/Backend/utils/image_processing.py:887`,
+  * `:1223-1254`) so downstream steps can see WHAT was removed and where —
+  * `dupMask` is that artifact per document over spans.
+  *
+  * Shapes (all 100 TB-safe):
+  *  - span extraction is a pure per-row explode — no shuffle;
+  *  - dedup shuffles ONLY (id, span_idx, 32-char md5) rows — span text
+  *    never travels; the keeper choice is a map-side-combined `min(struct)`
+  *    aggregation, so a boilerplate span repeated 10^9 times partially
+  *    aggregates on the mappers instead of hot-spotting one reducer (the
+  *    window-function formulation would sort that partition on one task);
+  *  - the mask is a per-document aggregation (bounded by document size,
+  *    not corpus size).
+  */
+object Spans {
+
+  /** (id, span_idx, span) rows: split on a separator regex (default:
+    * blank-line paragraph breaks), trim, drop empties. `span_idx` is the
+    * ORIGINAL position in the split (stable even when empties drop). */
+  def split(docs: DataFrame, idCol: String, textCol: String,
+            sepRe: String = "\\n{2,}"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(org.apache.spark.sql.functions.split(col(textCol), sepRe)))
+      .select(col("id"), col("pos").cast("long").as("span_idx"),
+        trim(col("col")).as("span"))
+      .filter(length(col("span")) > 0)
+
+  /** Fixed word-window spans for corpora WITHOUT paragraph structure
+    * (transcripts, single-line docs): consecutive `chunkWords`-word
+    * windows, last chunk possibly short. Same row contract as `split`. */
+  def wordChunks(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 10): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords $chunkWords")
+    val ws = org.apache.spark.sql.functions.split(col(textCol), " ")
+    val nChunks =
+      greatest(ceil(size(ws).cast("double") / chunkWords) - 1, lit(0))
+    docs.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), nChunks.cast("int")),
+          j => concat_ws(" ", slice(ws, j * chunkWords + 1, lit(chunkWords))))))
+      .select(col("id"), col("pos").cast("long").as("span_idx"),
+        trim(col("col")).as("span"))
+      .filter(length(col("span")) > 0)
+  }
+
+  /** Span-level exact dedup over a (id, span_idx, span) frame.
+    *
+    * Output per input span: (id, span_idx, span_hash, keeper_id,
+    * keeper_span_idx, n_copies, is_dup) — keeper = the lexicographically
+    * minimum (id, span_idx) holding that span's md5, deterministic. A span
+    * is `is_dup` iff it is not its own keeper; dropping `is_dup` rows and
+    * reassembling by (id, span_idx) is the dedup transform itself. */
+  def dedup(spans: DataFrame): DataFrame = {
+    val hashed = spans
+      .withColumn("span_hash", md5(col("span")))
+      .select("id", "span_idx", "span_hash")
+    // min(struct) is map-side combined: the hot-hash reducer receives one
+    // pre-aggregated row per upstream partition, not the raw copies
+    val keepers = hashed.groupBy("span_hash")
+      .agg(min(struct(col("id"), col("span_idx"))).as("k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("span_hash"), col("k.id").as("keeper_id"),
+        col("k.span_idx").as("keeper_span_idx"), col("n_copies"))
+    hashed.join(keepers, "span_hash")
+      .withColumn("is_dup",
+        !(col("id") === col("keeper_id") &&
+          col("span_idx") === col("keeper_span_idx")))
+      .select("id", "span_idx", "span_hash", "keeper_id",
+        "keeper_span_idx", "n_copies", "is_dup")
+  }
+
+  /** Per-document duplicate-span mask from `dedup` output — the reference's
+    * emitted line mask, per doc: '0'/'1' per span in span order, plus
+    * counts. A doc whose mask is all-'1' is pure boilerplate. */
+  def dupMask(deduped: DataFrame): DataFrame =
+    deduped.groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("span_idx"),
+              when(col("is_dup"), "1").otherwise("0").as("f")))),
+            s => s.getField("f")), "").as("dup_mask"))
+}

@@ -13,23 +13,32 @@ object TextProfile {
   /** Word n-gram document frequency: how many DISTINCT documents contain
     * each word n-gram. The standard input to boilerplate-phrase lists
     * (drop/flag grams with df over a ceiling) and train/test contamination
-    * probes (join a held-out set's grams against the table). Per-doc
-    * dedup happens BEFORE the count (distinct on (doc, gram)), so a gram
-    * repeated inside one doc counts once; the groupBy is map-side combined
-    * on the gram — one shuffle of (gram, df) rows, no doc content travels.
-    * Documents shorter than n words contribute their whole text as one
-    * (short) gram, mirroring `Dedup.shingles`' convention. */
+    * probes (join a held-out set's grams against the table). A gram
+    * repeated inside one doc counts once (`count_distinct` on the doc id —
+    * ONE declarative aggregate; the planner's distinct rewrite dedups
+    * (gram, id) map-side before the first exchange and ships only
+    * (gram, partial-count) through the second, the same two-exchange
+    * physical shape the explicit distinct+groupBy formulation planned,
+    * verified by `.explain` — no doc content ever travels). Documents
+    * shorter than n words contribute their whole text as one (short)
+    * gram, mirroring `Dedup.shingles`' convention. */
   def ngramDocFreq(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minDf: Long = 3): DataFrame = {
     require(n >= 1, s"ngram size $n")
-    val words = split(col(textCol), " ")
-    docs.select(col(idCol).as("id"), words.as("ws"))
-      .select(col("id"), explode(transform(
-        sequence(lit(0), greatest(size(col("ws")) - n, lit(0))),
-        i => concat_ws(" ", slice(col("ws"), i + 1, lit(n))))).as("gram"))
-      .distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+    docs.select(col(idCol).as("id"), ngrams(col(textCol), n).as("gs"))
+      .select(col("id"), explode(col("gs")).as("gram"))
+      .groupBy("gram").agg(count_distinct(col("id")).as("df"))
       .filter(col("df") >= minDf)
+  }
+
+  /** Word n-gram array of a text column (occurrence order, duplicates
+    * kept): the shared gram builder of `ngramDocFreq`, `repetitionScore`
+    * and the contamination probe. */
+  def ngrams(textCol: Column, n: Int): Column = {
+    val ws = split(textCol, " ")
+    transform(
+      sequence(lit(0), greatest(size(ws) - n, lit(0))),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
   }
 
   /** Intra-document repetition score (the Gopher-rule family): the
@@ -39,12 +48,58 @@ object TextProfile {
     * per-row column expressions: no shuffle, no state, codegen'd. */
   def repetitionScore(textCol: Column, n: Int = 3): Column = {
     require(n >= 1, s"ngram size $n")
-    val ws = split(textCol, " ")
-    val grams = transform(
-      sequence(lit(0), greatest(size(ws) - n, lit(0))),
-      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    val grams = ngrams(textCol, n)
     round((size(grams) - size(array_distinct(grams))).cast("double") /
       size(grams), 6)
+  }
+
+  /** Train/test contamination probe — the check every model team runs
+    * before trusting an eval split: which held-out documents share word
+    * n-grams with the TRAIN split, how many, and which shared gram is
+    * worst (highest train document frequency, ties broken by the
+    * lexicographically smallest gram — deterministic).
+    *
+    * Composes `hashSplit` (the leakage-safe split) with the `ngrams`
+    * builder: train-side gram DF is one map-side-combined aggregate over
+    * skinny (gram, id) rows; the test side joins it on the gram — no
+    * document content crosses an exchange. Every test doc appears in the
+    * output; zero-contamination docs carry n_contaminated = 0 and the ''
+    * sentinel worst_gram (NULL-free output).
+    *
+    * Reference analog: the experimental evaluator's compare-against-
+    * ground-truth step (`/root/reference/Backend/utils/experimental_evaluator.py`) —
+    * here the "ground truth" is the train corpus and the metric is overlap. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, testFrac: Double = 0.1,
+                    valFrac: Double = 0.1, minDf: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = hashSplit(
+      docs.select(col(idCol).as("id"), col(textCol).as("text")),
+      "id", testFrac, valFrac)
+    val grams = sp.select(col("id"), col("split"),
+      explode(array_distinct(ngrams(col("text"), n))).as("gram"))
+    // grams are distinct per doc already → count = document frequency
+    val trainDf = grams.filter(col("split") === "train")
+      .groupBy("gram").agg(count(lit(1)).as("train_df"))
+      .filter(col("train_df") >= minDf)
+    val testGrams = grams.filter(col("split") === "test").select("id", "gram")
+    val nGrams = testGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val hits = testGrams.join(trainDf, "gram")
+    val w = Window.partitionBy("id")
+      .orderBy(col("train_df").desc, col("gram"))
+    val worst = hits
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_contaminated", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("n_contaminated"),
+        col("gram").as("worst_gram"), col("train_df").as("worst_df"))
+    nGrams.join(worst, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("contamination_frac"),
+        coalesce(col("worst_gram"), lit("")).as("worst_gram"),
+        coalesce(col("worst_df"), lit(0L)).as("worst_df"))
   }
 
   /** Deterministic, content-stable train/val/test split: the standard

@@ -440,6 +440,48 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains("zz"), "short doc's gram has df=1 here")
   }
 
+  test("contamination probe matches a driver-side brute-force oracle") {
+    // overlapping synthetic vocab so train/test gram collisions are real
+    val docs = (0L until 300L).map { i =>
+      (i, s"w${i % 5} w${(i / 5) % 5} w${(i / 25) % 5} t${i % 11} t${i % 13} common suffix words")
+    }.toDF("doc_id", "text")
+    val out = graft.pipeline.TextProfile
+      .contamination(docs, "doc_id", "text", n = 3,
+        testFrac = 0.2, valFrac = 0.1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4), r.getLong(5))).toMap
+
+    // brute force on the driver from the same hashSplit + gram definitions
+    val split = graft.pipeline.TextProfile
+      .hashSplit(docs, "doc_id", testFrac = 0.2, valFrac = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length <= 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byId = docs.collect().map(r => r.getLong(0) -> grams(r.getString(1))).toMap
+    val trainDf = byId.toSeq.filter(kv => split(kv._1) == "train")
+      .flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val testIds = split.collect { case (id, "test") => id }.toSet
+    assert(out.keySet == testIds, "every test doc appears exactly once")
+    testIds.foreach { id =>
+      val g = byId(id)
+      val hits = g.filter(trainDf.contains)
+      val (ng, nc, frac, wg, wd) = out(id)
+      assert(ng == g.size && nc == hits.size, s"doc $id: ($ng,$nc) vs (${g.size},${hits.size})")
+      assert(math.abs(frac - (BigDecimal(hits.size.toDouble / g.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)) < 1e-9)
+      if (hits.isEmpty) assert(wg == "" && wd == 0L)
+      else {
+        val expected = hits.map(x => (x, trainDf(x)))
+          .toSeq.sortBy { case (gr, df) => (-df, gr) }.head
+        assert((wg, wd) == (expected._1, expected._2), s"doc $id worst")
+      }
+    }
+  }
+
   test("components: chains and separate cliques collapse to min-id labels") {
     // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
     // triangle 10-11-12, isolated pair 20-21

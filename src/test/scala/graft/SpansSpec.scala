@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Spans
+
+class SpansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("split: blank-line paragraphs, trimmed, empties dropped, idx stable") {
+    val df = Seq(
+      (1L, "para one here\n\n  para two  \n\n\n\npara three"),
+      (2L, "single paragraph only")
+    ).toDF("doc_id", "text")
+    val out = Spans.split(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 0L, "para one here"), (1L, 1L, "para two"),
+      (1L, 2L, "para three"), (2L, 0L, "single paragraph only")), s"got $out")
+  }
+
+  test("wordChunks: fixed windows, short tail, exact boundaries") {
+    val df = Seq(
+      (1L, "a b c d e f g"),   // 7 words, chunk 3 → "a b c","d e f","g"
+      (2L, "x y z")            // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = Spans.wordChunks(df, "doc_id", "text", chunkWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 0L, "a b c"), (1L, 1L, "d e f"), (1L, 2L, "g"),
+      (2L, 0L, "x y z")), s"got $out")
+  }
+
+  test("dedup: cross-doc repeated span elects min-(id,idx) keeper; mask emits") {
+    // the shared license paragraph appears in all three docs; doc 3 also
+    // repeats a span INSIDE itself (intra-doc dup)
+    val df = Seq(
+      (1L, "license text\n\nunique alpha"),
+      (2L, "unique beta\n\nlicense text"),
+      (3L, "license text\n\ngamma body\n\ngamma body")
+    ).toDF("doc_id", "text")
+    val d = Spans.dedup(Spans.split(df, "doc_id", "text"))
+    val rows = d.collect().map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // license: keeper (1,0), 3 copies
+    assert(rows((1L, 0L)) == (1L, 0L, 3L, false))
+    assert(rows((2L, 1L)) == (1L, 0L, 3L, true))
+    assert(rows((3L, 0L)) == (1L, 0L, 3L, true))
+    // intra-doc: keeper (3,1), copy (3,2)
+    assert(rows((3L, 1L)) == (3L, 1L, 2L, false))
+    assert(rows((3L, 2L)) == (3L, 1L, 2L, true))
+    // uniques are their own keepers
+    assert(rows((1L, 1L)) == (1L, 1L, 1L, false))
+
+    val m = Spans.dupMask(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(m(1L) == (2L, 0L, "00"), s"got ${m(1L)}")
+    assert(m(2L) == (2L, 1L, "01"), s"got ${m(2L)}")
+    assert(m(3L) == (3L, 2L, "101"), s"got ${m(3L)}")
+  }
+
+  test("dedup shuffles hashes, not span text (scale contract)") {
+    // every exchange's input schema must be free of the span column: only
+    // (id, span_idx, 32-char md5) rows travel
+    val df = Seq((1L, "aaa bbb\n\nccc ddd")).toDF("doc_id", "text")
+    // AQE off for a deterministic static plan with materialized exchanges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = Spans.dedup(Spans.split(df, "doc_id", "text"))
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(shuffles.nonEmpty, "expected at least one exchange")
+      shuffles.foreach { e =>
+        assert(!e.child.output.map(_.name).contains("span"),
+          s"span text crosses an exchange: ${e.child.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
