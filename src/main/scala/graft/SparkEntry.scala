@@ -533,6 +533,25 @@ object SparkEntry {
           array_join(col("drop_reasons"), "|").as("drop_reasons"),
           col("lang"), col("ppl_char"))
         .orderBy("clip_id")
+    }),
+
+    // ---- learned-quality-head decisions (model-based scoring path) -------
+    // the trained logistic head (ai_processor.py:169-331 analog) as an
+    // active decision rule — rows-only like its clips_* siblings; the
+    // score itself is gated bitwise against the independent OracleText
+    // scorer in `sbt test`
+    "clips_decisions_learned" -> ((s, dir) => {
+      import s.implicits._
+      val params = ClipGen.Params(clipRowsFor(dir))
+      val model = s.sparkContext.broadcast(TextModel.default)
+      val clips = s.range(0, params.n, 1,
+        math.max(8, s.sparkContext.defaultParallelism))
+        .map(i => ClipGen.row(i, params))
+      FilterPipeline.decisions(clips, Presets.learned, model)
+        .select(col("clip_id"), col("keep"),
+          array_join(col("drop_reasons"), "|").as("drop_reasons"),
+          col("lang"), col("quality_score"))
+        .orderBy("clip_id")
     })
   )
 

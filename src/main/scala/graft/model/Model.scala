@@ -102,9 +102,10 @@ object Reason {
   val Silence       = "silence"           // H5
   val Clipping      = "clipping"          // H5
   val FlatRange     = "flat_dyn_range"    // H6
+  val LowQuality    = "low_quality_model" // learned head (opt-in)
   val all: Seq[String] = Seq(DecodeError, EmptyText, WrongLanguage, LowLangConf,
     HighPplChar, HighPplWord, LengthRatio, Repetition, SymbolDensity,
-    DurMismatch, Silence, Clipping, FlatRange)
+    DurMismatch, Silence, Clipping, FlatRange, LowQuality)
 }
 
 /** Typed filter configuration (reference analog: 40-key settings map with
@@ -147,6 +148,10 @@ final case class FilterConfig(
     maxClipFrac: Double = 0.02,
     // H6 dynamic range floor (dB)
     minDynRangeDb: Double = 3.0,
+    // learned quality head floor (≤ 0 disables the rule; the score column
+    // is always emitted) — reference's model-based scoring path
+    // (`ai_processor.py:169-331`) as an opt-in decision rule
+    minQualityScore: Double = 0.0,
     // audio framing
     frameMs: Int = 20,
     silenceFloorDb: Double = -35.0,
@@ -212,10 +217,12 @@ object Presets {
   val adaptiveSauvola: FilterConfig =
     default.copy(adaptivePpl = true, adaptiveMethod = "sauvola")
   val debug: FilterConfig = default.copy(tokenScoresFrac = 0.05)
+  val learned: FilterConfig = default.copy(minQualityScore = 0.5)
   val byName: Map[String, FilterConfig] = Map(
     "default" -> default, "premium" -> default, "strict" -> strict,
     "lenient" -> lenient, "adaptive" -> adaptive,
-    "adaptive-sauvola" -> adaptiveSauvola, "debug" -> debug)
+    "adaptive-sauvola" -> adaptiveSauvola, "debug" -> debug,
+    "learned" -> learned)
   /** Alias-tolerant lookup (reference `app.py:128-150`). */
   def apply(name: String): FilterConfig =
     byName.getOrElse(name.trim.toLowerCase, default)

@@ -42,6 +42,7 @@ final case class FeatureRow(
     chars_per_sec: Double,
     max_repeat_run: Int,
     symbol_frac: Double,
+    quality_score: Double,
     scrubbed_transcript: String,
     scrub_hits: Seq[ScrubHit],
     token_scores: Seq[TokenScore]
@@ -159,6 +160,8 @@ object FilterPipeline {
           chars_per_sec = Heuristics.charsPerSec(t, clip.dur_ms),
           max_repeat_run = Heuristics.maxRepeatRun(t),
           symbol_frac = Heuristics.symbolFrac(t),
+          // learned head scores the SCRUBBED text, like the PPL rules
+          quality_score = if (t.isEmpty) 0.0 else m.qualityScore(scrubbed),
           scrubbed_transcript = scrubbed,
           scrub_hits = hits,
           token_scores = tokScores
@@ -191,7 +194,13 @@ object FilterPipeline {
       when(decoded && col("silence_frac") > cfg.maxSilenceFrac, Reason.Silence),
       when(decoded && col("clip_frac") > cfg.maxClipFrac, Reason.Clipping),
       when(decoded && col("dyn_range_db") < cfg.minDynRangeDb, Reason.FlatRange)
-    )
+    ) ++
+      // learned quality head: opt-in rule (Presets.learned) — a disabled
+      // config contributes no expression, so default plans are unchanged
+      (if (cfg.minQualityScore > 0)
+        Seq(when(nonEmpty && col("quality_score") < cfg.minQualityScore,
+          Reason.LowQuality))
+      else Nil)
 
     feats
       .withColumn("drop_reasons",
@@ -335,7 +344,7 @@ object FilterPipeline {
       col("band_contrast_db"), col("dc_offset"), col("segment_ms"),
       col("chars_per_sec"),
       col("max_repeat_run"), col("symbol_frac"), col("scrub_hits"),
-      col("token_scores"))
+      col("token_scores"), col("quality_score"))
 
   /** Per-partition lineage rows (reference C4/G12: intermediate-step lineage
     * + batch counters, shrunk to scalars per SURVEY §4.2(2)): one row per

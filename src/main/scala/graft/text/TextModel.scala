@@ -34,7 +34,13 @@ final case class TextModel(
     charsetSize: Array[Int],
     // word LMs: per-language word -> count + totals
     wordCounts: IndexedSeq[Map[String, Int]],
-    wordTotals: Array[Long]
+    wordTotals: Array[Long],
+    // learned quality head (reference's model-based scoring subsystem,
+    // `ai_processor.py:169-331`): logistic regression over the SAME hashed
+    // char 1..3-gram feature space (mean-pooled), trained deterministically
+    // on natural-vs-junk fixture labels at build time
+    qualityW: Array[Double],
+    qualityB: Double
 ) extends Serializable {
 
   import TextModel._
@@ -146,6 +152,21 @@ final case class TextModel(
   /** Best accepted language by char PPL — used when LID is uncertain. */
   def bestPplChar(text: String, accepted: Iterable[String]): (String, Double) =
     accepted.map(l => (l, pplChar(text, l))).minBy(_._2)
+
+  /** Learned quality score in (0, 1): σ(b + mean-pooled hashed-n-gram dot
+    * product). High = natural language, low = junk (repeated-token loops,
+    * symbol spam, gibberish). Complements the heuristic rules: learned
+    * jointly from examples rather than thresholded per symptom. Empty text
+    * scores 0. Accumulation follows the documented position-order n-gram
+    * stream, so the independent oracle reproduces it bitwise. */
+  def qualityScore(text: String): Double = {
+    val t = normalize(text)
+    if (t.isEmpty) return 0.0
+    var s = 0.0
+    foreachNgramHash(t, hashDim)(h => s += qualityW(h))
+    val z = qualityB + s / math.max(1, ngramCount(t))
+    1.0 / (1.0 + math.exp(-z))
+  }
 }
 
 object TextModel {
@@ -281,6 +302,12 @@ object TextModel {
       }
     }
 
+    // quality head: positives = natural corpus sentences, negatives = the
+    // deterministic junk classes; seed stream disjoint from the LM corpus
+    val qpos = langs.flatMap(l => corpus(l).take(1200)).toIndexedSeq
+    val qneg = junkCorpus(qpos.length, seed = 7042L)
+    val (qw, qb) = trainQualityHead(qpos, qneg, dim)
+
     // NB log-probs with add-alpha over buckets
     val alpha = 0.5
     val lidLogProb = Array.tabulate(langs.length) { li =>
@@ -299,8 +326,86 @@ object TextModel {
       charTotals = charTotals,
       charsetSize = charsets.map(_.size).toArray,
       wordCounts = wordCounts.map(_.toMap),
-      wordTotals = wordTotals
+      wordTotals = wordTotals,
+      qualityW = qw,
+      qualityB = qb
     )
+  }
+
+  /** Deterministic junk corpus for quality-head training and evaluation —
+    * the degenerate classes a curation filter must reject: repeated-token
+    * loops, symbol spam, uniform character gibberish, consonant mash.
+    * Splitmix streams keyed by (seed, tag, i): disjoint from the fixture
+    * rows and the LM corpus. */
+  def junkCorpus(n: Int, seed: Long): IndexedSeq[String] =
+    IndexedSeq.tabulate(n) { i =>
+      val rng = graft.fixture.Prng.derive(seed, 0xBADFEEDL, i.toLong)
+      (i % 4) match {
+        case 0 => // repeated token loop
+          val tok = Array.fill(3 + rng.nextInt(6))(
+            ('a' + rng.nextInt(26)).toChar).mkString
+          Array.fill(15 + rng.nextInt(40))(tok).mkString(" ")
+        case 1 => // symbol spam with sparse letters
+          val syms = "!@#$%^&*()_+{}|:<>?~;=[]"
+          (0 until 60 + rng.nextInt(120)).map { _ =>
+            val r = rng.nextDouble()
+            if (r < 0.6) syms.charAt(rng.nextInt(syms.length))
+            else if (r < 0.75) ' '
+            else ('a' + rng.nextInt(26)).toChar
+          }.mkString
+        case 2 => // uniform character gibberish
+          (0 until 80 + rng.nextInt(120)).map { _ =>
+            if (rng.nextDouble() < 0.15) ' ' else ('a' + rng.nextInt(26)).toChar
+          }.mkString
+        case _ => // consonant-mash words
+          val cons = "bcdfghjklmnpqrstvwxz"
+          (0 until 10 + rng.nextInt(20)).map { _ =>
+            Array.fill(4 + rng.nextInt(8))(
+              cons.charAt(rng.nextInt(cons.length))).mkString
+          }.mkString(" ")
+      }
+    }
+
+  /** Deterministic logistic-regression fit: mean-pooled hashed-n-gram
+    * features, fixed example interleave (pos, neg, pos, neg, …), fixed
+    * epoch count and learning rate — pure double math in a fixed order, so
+    * the trained weights are identical on every JVM. The feature space is
+    * linearly separable for these classes; ~10 epochs saturate. */
+  private def trainQualityHead(pos: IndexedSeq[String], neg: IndexedSeq[String],
+                               dim: Int): (Array[Double], Double) = {
+    require(pos.length == neg.length, "balanced classes required")
+    def feats(s: String): Array[(Int, Double)] = {
+      val t = normalize(s)
+      val m = scala.collection.mutable.HashMap.empty[Int, Int]
+      foreachNgramHash(t, dim)(h => m.updateWith(h)(c => Some(c.getOrElse(0) + 1)))
+      val n = math.max(1, ngramCount(t)).toDouble
+      m.toArray.sortBy(_._1).map { case (h, c) => (h, c / n) }
+    }
+    val examples = pos.zip(neg).flatMap { case (p, q) =>
+      Seq((feats(p), 1.0), (feats(q), 0.0))
+    }
+    val w = new Array[Double](dim)
+    var b = 0.0
+    // mean-pooled features have unit L1 mass, so logits grow slowly — a
+    // large initial step with per-epoch decay converges the oscillation.
+    // The junk classes have CONCENTRATED features (few distinct grams, big
+    // negative weights, measured held-out p95 score ≈ 0.001) while natural
+    // text is diffuse, so an unweighted fit parks the boundary against the
+    // positive class; the 4× positive class weight shifts it into the
+    // negatives' wide margin and both classes clear threshold 0.5.
+    var epoch = 0
+    while (epoch < 60) {
+      val lr = 8.0 / (1.0 + 0.15 * epoch)
+      examples.foreach { case (f, y) =>
+        var z = b
+        f.foreach { case (h, x) => z += w(h) * x }
+        val g = (1.0 / (1.0 + math.exp(-z)) - y) * (if (y > 0.5) 4.0 else 1.0)
+        b -= lr * g
+        f.foreach { case (h, x) => w(h) -= lr * g * x }
+      }
+      epoch += 1
+    }
+    (w, b)
   }
 
   /** Process-wide cached artifact (built once per JVM, then broadcast). */

@@ -47,7 +47,25 @@ class TextSpec extends AnyFunSuite {
         assert(m.pplWord(t, lang) == graft.oracle.OracleText.pplWord(m, t, lang),
           s"pplWord mismatch on '$t' lang=$lang")
       }
+      assert(m.qualityScore(t) == graft.oracle.OracleText.quality(m, t),
+        s"quality mismatch on '$t'")
     }
+  }
+
+  test("learned quality head separates held-out natural text from junk") {
+    // eval sets drawn from seed streams DISJOINT from the training data
+    // (train: corpus seed 1042 / junk seed 7042)
+    val m = TextModel.default
+    val pos = LangGen.corpus(80, seed = 31337L).values.flatten.toSeq
+    val neg = TextModel.junkCorpus(240, seed = 424242L)
+    val posAcc = pos.count(t => m.qualityScore(t) >= 0.5).toDouble / pos.size
+    val negAcc = neg.count(t => m.qualityScore(t) < 0.5).toDouble / neg.size
+    assert(posAcc >= 0.97, s"natural-text accuracy $posAcc")
+    assert(negAcc >= 0.97, s"junk accuracy $negAcc")
+    // determinism: rebuilt artifact carries identical weights
+    val m2 = TextModel.build()
+    assert(java.util.Arrays.equals(m.qualityW, m2.qualityW) &&
+      m.qualityB == m2.qualityB, "training must be deterministic")
   }
 
   test("char PPL is monotone: garbled text scores higher than clean") {

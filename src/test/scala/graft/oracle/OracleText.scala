@@ -89,6 +89,19 @@ object OracleText {
     math.exp(-logSum / n)
   }
 
+  /** Learned quality head from the artifact's weights — independent bucket
+    * stream, n-gram count, and sigmoid. Bitwise equality with the engine
+    * holds because both accumulate the position-order stream. */
+  def quality(model: TextModel, text: String): Double = {
+    val t = normalize(text)
+    if (t.isEmpty) return 0.0
+    var s = 0.0
+    buckets(t, model.hashDim).foreach(h => s += model.qualityW(h))
+    val n = math.max(1,
+      t.length + math.max(0, t.length - 1) + math.max(0, t.length - 2))
+    1.0 / (1.0 + math.exp(-(model.qualityB + s / n)))
+  }
+
   /** Word-unigram PPL with the documented length-penalized OOV mass. */
   def pplWord(model: TextModel, text: String, lang: String): Double = {
     val li = model.langIndex(lang)
