@@ -31,28 +31,28 @@ object Bench {
     * WANDERS between sessions, so scaling efficiency is only interpretable
     * against the ceiling measured in the SAME session — this emits it into
     * the bench JSON (best-of-3 per thread count). */
-  private def rawCpuSecs(threads: Int): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      try {
-        val fs = (1 to 64).map { _ =>
-          pool.submit(new java.util.concurrent.Callable[Array[Byte]] {
-            def call(): Array[Byte] = {
-              val md = java.security.MessageDigest.getInstance("SHA-256")
-              val buf = new Array[Byte](1 << 20)
-              var i = 0
-              while (i < 16) { md.update(buf); i += 1 }
-              md.digest()
-            }
-          })
-        }
-        fs.foreach(_.get())
-      } finally pool.shutdown()
-      (System.nanoTime() - t0) / 1e9
-    }
-    (1 to 3).map(_ => once()).min
+  private def rawCpuOnce(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val fs = (1 to 64).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Array[Byte]] {
+          def call(): Array[Byte] = {
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            val buf = new Array[Byte](1 << 20)
+            var i = 0
+            while (i < 16) { md.update(buf); i += 1 }
+            md.digest()
+          }
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    (System.nanoTime() - t0) / 1e9
   }
+
+  private def rawCpuSecs(threads: Int): Double =
+    (1 to 3).map(_ => rawCpuOnce(threads)).min
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -121,12 +121,18 @@ object Bench {
     (1 to 2).foreach(_ => countOnly(spark)) // JIT warm-up for the hot path
     runJob(spark, clipsDir, "/tmp/graft_bench/out_warm") // warm the write path
     val pipe = scala.collection.mutable.Map.empty[Int, Double]
+    // per-phase raw-CPU control, measured ADJACENT to the phase's reps: a
+    // hypervisor-steal episode during a phase shows up as this control
+    // running well above the session floor — machine-flagged in the output
+    // (steal_flags) instead of explained post-hoc
+    val phaseCtl = scala.collection.mutable.Map.empty[Int, Double]
     def measure(s: SparkSession, cores: Int, runs: Int): Unit = {
       results(s"decode_score_n$cores") =
         (1 to runs).map(_ => timed(countOnly(s))).min
       pipe(cores) = (1 to runs).map(_ =>
         runJob(s, clipsDir, s"/tmp/graft_bench/out_$cores")).min
       results(s"pipeline_n$cores") = pipe(cores)
+      phaseCtl(cores) = rawCpuOnce(cores)
     }
     measure(spark, cpus, 3)
     spark.stop()
@@ -160,6 +166,18 @@ object Bench {
     def rawEff(hiT: Double, hiN: Int, loT: Double, loN: Int): Double =
       (loT / hiT) / (hiN.toDouble / loN)
 
+    // per-phase steal flags: the control measured inside a phase running
+    // ≥ 30% over the session floor for the same thread count marks that
+    // phase's numbers as host-degraded (e.g. BENCH_r03's 39 s n32 outlier)
+    val floorByCores = Map(low -> rawLow, mid -> rawMid, cpus -> rawHi)
+    val stealFlags = phaseCtl.toSeq.sortBy(_._1).collect {
+      case (c, t) if t > floorByCores.getOrElse(c, t) * 1.3 => s""""n$c""""
+    }
+    val ctls = phaseCtl.toSeq.sortBy(_._1)
+      .map { case (c, t) =>
+        f""""raw_ctl_phase_n$c":$t%.3f,"raw_ctl_floor_n$c":${floorByCores(c)}%.3f""" }
+      .mkString(",")
+
     def eff(hi: Int, lo: Int): Double =
       ((benchRows / pipe(hi)) / (benchRows / pipe(lo))) / (hi.toDouble / lo)
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -167,6 +185,6 @@ object Bench {
     val tputs = pipe.toSeq.sortBy(_._1)
       .map { case (c, t) => f""""clips_per_sec_n$c":${benchRows / t}%.1f""" }.mkString(",")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,$tputs,"scaling_efficiency":${eff(mid, low)}%.3f,"scaling_pair":"local[$low]->local[$mid]","scaling_efficiency_n$mid-n$cpus":${eff(cpus, mid)}%.3f,"host_raw_eff_same_session_n$low-n$mid":${rawEff(rawMid, mid, rawLow, low)}%.3f,"host_raw_eff_same_session_n$mid-n$cpus":${rawEff(rawHi, cpus, rawMid, mid)}%.3f,"scaling_vs_host_ceiling":${eff(mid, low) / rawEff(rawMid, mid, rawLow, low)}%.3f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,$tputs,"scaling_efficiency":${eff(mid, low)}%.3f,"scaling_pair":"local[$low]->local[$mid]","scaling_efficiency_n$mid-n$cpus":${eff(cpus, mid)}%.3f,"host_raw_eff_same_session_n$low-n$mid":${rawEff(rawMid, mid, rawLow, low)}%.3f,"host_raw_eff_same_session_n$mid-n$cpus":${rawEff(rawHi, cpus, rawMid, mid)}%.3f,"scaling_vs_host_ceiling":${eff(mid, low) / rawEff(rawMid, mid, rawLow, low)}%.3f,$ctls,"steal_flags":[${stealFlags.mkString(",")}]}""")
   }
 }

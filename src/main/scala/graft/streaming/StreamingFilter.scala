@@ -74,6 +74,49 @@ object StreamingFilter {
     deduped.drop("arrival_ts")
   }
 
+  /** Streaming NEAR-dup sketch: approximate near-duplicate suppression
+    * inside the watermark horizon, beside the exact `dedupByTranscript`.
+    *
+    * Mechanics: the 64-bit token SimHash is sliced into `numBands` band
+    * keys and the stream passes through one `dropDuplicatesWithinWatermark`
+    * PER BAND. A row that survives every stage registers all of its band
+    * keys; a later row sharing ANY band key with a surviving row is
+    * dropped at that band's stage. By the pigeonhole principle a new clip
+    * within Hamming ≤ numBands−1 of a RETAINED clip shares at least one
+    * untouched band, so it is structurally suppressed (4 bands → radius 3,
+    * which covers exact dups, punctuation/casing edits — token SimHash is
+    * invariant to those — and small word edits on long transcripts).
+    *
+    * Approximation contract, stated loudly:
+    *  - false positives: two genuinely distinct clips sharing one
+    *    64/numBands-bit band key are conflated (p ≈ numBands·2^-(64/numBands)
+    *    per pair ≈ 6e-5 at 4 bands) — acceptable for dedup, where dropping
+    *    one near-borderline clip costs nothing;
+    *  - false negatives: suppression chains do not extend (a dropped clip
+    *    registers nothing), matching keeper semantics — comparisons are
+    *    against RETAINED clips only.
+    *
+    * State: numBands stores × one long key per retained recent clip,
+    * expiring with the watermark — bounded like the exact pass. */
+  def dedupNearBySimhash(decisions: DataFrame,
+                         delay: String = "2 minutes",
+                         numBands: Int = 4): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0, s"bad numBands $numBands")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    var d = decisions
+      .withColumn("arrival_ts", current_timestamp())
+      .withColumn("sh", graft.functions.SimHash64.col(col("scrubbed_transcript")))
+      .withWatermark("arrival_ts", delay)
+    (0 until numBands).foreach { b =>
+      d = d
+        .withColumn(s"band_$b",
+          shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit(mask)))
+        .dropDuplicatesWithinWatermark(s"band_$b")
+    }
+    d.drop((0 until numBands).map(b => s"band_$b") ++ Seq("sh", "arrival_ts"): _*)
+  }
+
   /** Continuous keep/drop telemetry: windowed per-language decision counts
     * with a watermark (the streaming analog of the lineage rollup). Event
     * time is the micro-batch arrival time (clips carry no timestamp). */

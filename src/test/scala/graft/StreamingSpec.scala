@@ -82,6 +82,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length < 60, "fixture contains duplicate transcripts to drop")
   }
 
+  test("streaming near-dup sketch suppresses planted near-duplicates") {
+    import spark.implicits._
+    import graft.functions.TextSim
+    // fully disjoint vocabularies per doc — shared filler words would pull
+    // the simhashes together and collide band keys between distinct docs
+    val base = (0 until 12).map { i =>
+      (0 until 24).map(k => s"w${i}x$k").mkString(" ")
+    }
+    // planted near-dups of base(0): punctuation/casing edits are token-
+    // SimHash-invariant (Hamming 0 — structurally suppressed at any
+    // banding); a small word edit must sit within the pigeonhole radius,
+    // found by a deterministic search and asserted as a precondition so
+    // the test can never pass vacuously
+    val punctVariant = base(0).toUpperCase + "!!!"
+    assert(TextSim.hamming64(TextSim.simhash64(base(0)),
+      TextSim.simhash64(punctVariant)) == 0)
+    val editVariant = (0 until 100).iterator
+      .map(k => base(0) + s" extra$k")
+      .find(v => TextSim.hamming64(TextSim.simhash64(base(0)),
+        TextSim.simhash64(v)) <= 3)
+      .getOrElse(fail("precondition: no 1-word edit within hamming 3"))
+    // precondition for survivors: pairwise-distinct band keys among base
+    def bands(t: String): Set[(Int, Long)] = {
+      val sh = TextSim.simhash64(t)
+      (0 until 4).map(b => b -> ((sh >>> (b * 16)) & 0xFFFFL)).toSet
+    }
+    for (i <- base.indices; j <- base.indices if i < j)
+      assert(bands(base(i)).intersect(bands(base(j))).isEmpty,
+        s"fixture docs $i,$j must not share a band")
+
+    val dir = Files.createTempDirectory("graft-stream-nd").toString
+    // originals first (file 0), variants after (file 1): AvailableNow
+    // processes files in discovery order within one query
+    base.zipWithIndex.map { case (t, i) => (s"c$i", t) }
+      .toDF("clip_id", "scrubbed_transcript")
+      .coalesce(1).write.parquet(s"$dir/batch=0")
+    Seq(("v_punct", punctVariant), ("v_edit", editVariant),
+        ("c0_exact", base(0)))
+      .toDF("clip_id", "scrubbed_transcript")
+      .coalesce(1).write.parquet(s"$dir/batch=1")
+
+    val in = spark.readStream
+      .schema("clip_id STRING, scrubbed_transcript STRING")
+      .parquet(s"$dir/batch=*")
+    val out = StreamingFilter.dedupNearBySimhash(in)
+    assert(out.isStreaming)
+    val q = out.writeStream
+      .format("memory").queryName("stream_neardup")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-nd-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("stream_neardup")
+      .select("clip_id").collect().map(_.getString(0)).toSet
+    assert((0 until 12).forall(i => kept.contains(s"c$i")),
+      s"all distinct originals survive, got $kept")
+    assert(!kept.contains("v_punct") && !kept.contains("v_edit") &&
+      !kept.contains("c0_exact"),
+      s"planted near-dups must be suppressed, got $kept")
+  }
+
   test("windowed decision counts stream aggregates with a watermark") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-in2").toString
