@@ -371,6 +371,23 @@ object SparkEntry {
           graft.pipeline.Spans.wordChunks(spanCorpus(s, dir),
             "doc_id", "text", chunkWords = 10)))
         .orderBy("id")),
+    // the cleaning transform itself: duplicate spans removed, documents
+    // reassembled from surviving spans in order (all-dup docs vanish) —
+    // the reference's cleaned-output analog of the line-mask step
+    "q_docs_span_clean" -> ((s, dir) =>
+      graft.pipeline.Spans.removeDups(
+          graft.pipeline.Spans.wordChunks(spanCorpus(s, dir),
+            "doc_id", "text", chunkWords = 10))
+        .orderBy("id")),
+
+    // ---- TF-IDF top terms (corpus keyword profiling) ---------------------
+    // tf·ln(N/df) with deterministic (score desc, term asc) ranking: term
+    // stats from two map-side-combined aggregates + a broadcast scalar —
+    // no document content crosses the term join
+    "q_docs_tfidf" -> ((s, dir) =>
+      graft.pipeline.TextProfile.tfidfTopTerms(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 3)
+        .orderBy("id", "rank")),
 
     // ---- word-3-gram document frequency (boilerplate phrase mining) ------
     // the aggregate a curation pipeline derives from the corpus to drive
@@ -812,6 +829,31 @@ object SparkEntry {
         |  string_agg(CASE WHEN id = keeper_id AND span_idx = keeper_span_idx
         |                  THEN '0' ELSE '1' END, '' ORDER BY span_idx) AS dup_mask
         |FROM d GROUP BY id ORDER BY id""".stripMargin,
+    // cleaned reassembly: keeper spans only, joined back to their text and
+    // string_agg'd in span order (documents that were pure duplicates of
+    // earlier content drop out entirely)
+    "q_docs_span_clean" ->
+      s"""$spanCte
+        |SELECT d.id, string_agg(sp.span, ' ' ORDER BY d.span_idx) AS cleaned_text
+        |FROM d JOIN sp ON sp.id = d.id AND sp.span_idx = d.span_idx
+        |WHERE d.id = d.keeper_id AND d.span_idx = d.keeper_span_idx
+        |GROUP BY d.id ORDER BY d.id""".stripMargin,
+    // TF-IDF: tf from per-doc term counts, df from distinct docs per term,
+    // N as a scalar; identical double math (tf · ln(N/df)) in both engines
+    "q_docs_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id AS id, rank, term, tf, df, round(score, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
     // word-3-gram document frequency: distinct docs per gram, df >= 3;
     // DuckDB's 1-based inclusive list slice mirrors Spark's slice(ws,i+1,3)
     "q_docs_ngram_freq" ->

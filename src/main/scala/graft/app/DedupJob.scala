@@ -11,7 +11,7 @@ import graft.pipeline.Dedup
   *
   *   spark-submit --class graft.app.DedupJob <jar> \
   *     --input <documents parquet> --output <dir> \
-  *     [--mode exact|minhash|simhash|fingerprint|containment] \
+  *     [--mode exact|minhash|simhash|fingerprint|containment|spans] \
   *     [--id doc_id] [--text text] [--minJaccard 0.5] \
   *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536] \
   *     [--cluster true] [--checkpointDir <reliable dir>]
@@ -28,7 +28,13 @@ import graft.pipeline.Dedup
   *                 pair list they still have to cluster
   *   keepers/      (with --cluster true) (keeper_id, cluster_size) per
   *                 component, derived from the written components table
+  *   span_verdicts/ span_masks/ cleaned/  (spans mode) span-level dedup
+  *                 verdicts, the per-doc dup-span masks, and the
+  *                 reassembled cleaned documents (duplicate spans removed)
   *   summary printed as [dedup] lines (pair counts, dropped buckets).
+  *
+  * spans mode splits on --spanSep (regex; default blank-line paragraphs)
+  * or fixed --chunkWords word windows when --spanSep is 'words'.
   *
   * --checkpointDir: reliable-storage checkpoint location for the
   * clustering contraction (cluster mode durability; defaults to fast
@@ -45,7 +51,8 @@ object DedupJob {
       idCol: String = "doc_id", textCol: String = "text",
       minJaccard: Double = 0.5, minContainment: Double = 0.9,
       maxBucket: Int = 65536, maxDocFreq: Int = 65536,
-      cluster: Boolean = false, checkpointDir: Option[String] = None)
+      cluster: Boolean = false, checkpointDir: Option[String] = None,
+      spanSep: String = "\\n{2,}", chunkWords: Int = 10)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val docs = spark.read.parquet(a.input)
@@ -118,6 +125,16 @@ object DedupJob {
           minContainment = a.minContainment, maxDocFreq = a.maxDocFreq), "pairs")
         Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets")) ++
           clusterOut()
+      case "spans" =>
+        val sp =
+          if (a.spanSep == "words")
+            graft.pipeline.Spans.wordChunks(docs, a.idCol, a.textCol, a.chunkWords)
+          else graft.pipeline.Spans.split(docs, a.idCol, a.textCol, a.spanSep)
+        val d = graft.pipeline.Spans.dedup(sp)
+        Map(
+          "span_verdicts" -> write(d, "span_verdicts"),
+          "span_masks" -> write(graft.pipeline.Spans.dupMask(d), "span_masks"),
+          "cleaned" -> write(graft.pipeline.Spans.removeDups(sp), "cleaned"))
       case other => sys.error(s"unknown --mode $other")
     }
   }
@@ -135,7 +152,9 @@ object DedupJob {
       maxBucket = m.getOrElse("maxBucket", "65536").toInt,
       maxDocFreq = m.getOrElse("maxDocFreq", "65536").toInt,
       cluster = m.getOrElse("cluster", "false").toBoolean,
-      checkpointDir = m.get("checkpointDir"))
+      checkpointDir = m.get("checkpointDir"),
+      spanSep = m.getOrElse("spanSep", "\\n{2,}"),
+      chunkWords = m.getOrElse("chunkWords", "10").toInt)
 
     val builder = SparkSession.builder().appName("graft-dedup")
       .config("spark.sql.adaptive.enabled", "true")

@@ -81,6 +81,26 @@ object Spans {
         "keeper_span_idx", "n_copies", "is_dup")
   }
 
+  /** The cleaning transform itself: drop every duplicate span and
+    * reassemble each document from its surviving spans in span order —
+    * the analog of the reference pipeline's cleaned output image (its
+    * line-mask step feeds removal, `image_processing.py:1223-1254`).
+    * Documents whose every span was a duplicate vanish from the output
+    * (pure boilerplate), matching `exact` dedup's keeper contract at span
+    * granularity. Span text is re-attached to the skinny dedup verdicts
+    * by an (id, span_idx) join, then reassembly is a per-document
+    * aggregation — bounded by document size. */
+  def removeDups(spans: DataFrame, joinWith: String = " "): DataFrame = {
+    val verdicts = dedup(spans).filter(!col("is_dup"))
+      .select("id", "span_idx")
+    spans.join(verdicts, Seq("id", "span_idx"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span").as("s")))),
+          x => x.getField("s")), joinWith).as("cleaned_text"))
+  }
+
   /** Per-document duplicate-span mask from `dedup` output — the reference's
     * emitted line mask, per doc: '0'/'1' per span in span order, plus
     * counts. A doc whose mask is all-'1' is pure boilerplate. */

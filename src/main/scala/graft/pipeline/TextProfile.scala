@@ -102,6 +102,33 @@ object TextProfile {
         coalesce(col("worst_df"), lit(0L)).as("worst_df"))
   }
 
+  /** TF-IDF top terms per document — the corpus-profiling op behind
+    * keyword extraction, topic tagging, and per-source vocabulary audits.
+    * Classic tf·ln(N/df): term frequency from one map-side-combined
+    * (id, term) aggregate, document frequency from one `count_distinct`
+    * aggregate, the corpus size as a broadcast scalar — no document
+    * content crosses the term join (skinny (id, term, tf) rows), and the
+    * per-doc top-k window is bounded by document vocabulary. Deterministic
+    * ranking: score descending, then term ascending. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, minDf: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = words.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("term").agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
   /** Deterministic, content-stable train/val/test split: the standard
     * leakage-safe way to split a corpus. The split is a pure function of
     * the id's md5 (no RNG, no state), so it is identical across runs,

@@ -440,6 +440,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains("zz"), "short doc's gram has df=1 here")
   }
 
+  test("tfidfTopTerms: classic tf·ln(N/df), deterministic ranking") {
+    val df = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry"),
+      (3L, "durian durian durian banana")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextProfile.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 1: apple tf=2 df=1 → 2·ln(3); cherry tf=1 df=2 → ln(1.5);
+    // banana df=3 → idf 0 scores 0 and never ranks above the others
+    assert(out((1L, 1))._1 == "apple" &&
+      math.abs(out((1L, 1))._4 - 2 * math.log(3.0)) < 1e-6, s"$out")
+    assert(out((1L, 2))._1 == "cherry")
+    // doc 3: durian tf=3 df=1 → 3·ln(3) top
+    assert(out((3L, 1))._1 == "durian" && out((3L, 1))._2 == 3L)
+  }
+
   test("contamination probe matches a driver-side brute-force oracle") {
     // overlapping synthetic vocab so train/test gram collisions are real
     val docs = (0L until 300L).map { i =>

@@ -59,6 +59,34 @@ class SpansSpec extends AnyFunSuite {
     assert(m(3L) == (3L, 2L, "101"), s"got ${m(3L)}")
   }
 
+  test("removeDups reassembles cleaned docs; pure-boilerplate docs vanish") {
+    val df = Seq(
+      (1L, "license text\n\nunique alpha"),
+      (2L, "unique beta\n\nlicense text"),
+      (3L, "license text")                  // entirely duplicate → vanishes
+    ).toDF("doc_id", "text")
+    val cleaned = Spans.removeDups(Spans.split(df, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned == Map(
+      1L -> "license text unique alpha",    // keeper copy stays in place
+      2L -> "unique beta"), s"got $cleaned")
+  }
+
+  test("DedupJob spans mode writes verdicts, masks and cleaned docs") {
+    val in = java.nio.file.Files.createTempDirectory("graft_djs_in").toString
+    Seq((1L, "shared paragraph here\n\nalpha body"),
+        (2L, "beta body\n\nshared paragraph here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_djs_out").toString
+    val m = graft.app.DedupJob.run(spark,
+      graft.app.DedupJob.Args(in, out, mode = "spans"))
+    assert(m("span_verdicts") == 4L && m("span_masks") == 2L &&
+      m("cleaned") == 2L, s"$m")
+    val cleaned = spark.read.parquet(s"$out/cleaned")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(2L) == "beta body", s"got $cleaned")
+  }
+
   test("dedup shuffles hashes, not span text (scale contract)") {
     // every exchange's input schema must be free of the span column: only
     // (id, span_idx, 32-char md5) rows travel
