@@ -438,6 +438,39 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // ---- decontamination against a reference corpus ----------------------
+    // the benchmark-protection pass: remove every doc whose exact text
+    // occurs in the reference set (here: docs with doc_id % 10 == 0 stand
+    // in for an eval set). Anti-join on md5 — the ref side shrinks to one
+    // 32-char hash per doc and broadcasts; the corpus is never shuffled
+    "q_docs_decontaminate" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val ref = d.filter(col("doc_id") % 10 === 0).select("text")
+      graft.pipeline.Dedup.decontaminate(d, "text", ref, "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- content-stable stratified sampling (corpus mixing) --------------
+    // per-stratum keep rates decided purely by md5(doc_id): identical
+    // across engines and stable under corpus growth — the downsampling
+    // half of a training-mixture recipe
+    "q_docs_sample" -> ((s, dir) =>
+      graft.pipeline.TextProfile.stratifiedSample(
+          s.read.parquet(t(dir, "documents")), "doc_id", "source",
+          rates = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+          defaultRate = 0.75)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // ---- best-k per group (quality-based downsampling) -------------------
+    // keep the 5 longest docs per source, deterministic tie-break on id —
+    // the "N best per domain" selection pass
+    "q_docs_top_per_source" -> ((s, dir) =>
+      graft.pipeline.TextProfile.topPerGroup(
+          s.read.parquet(t(dir, "documents")).select("doc_id", "source", "n_chars"),
+          "source", col("n_chars"), "doc_id", k = 5)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")),
+
     // ---- train/test contamination probe ----------------------------------
     // hashSplit's held-out test docs joined against the train split's word
     // 3-gram document frequencies: per test doc, how many of its distinct
@@ -896,6 +929,33 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // decontamination: NOT EXISTS on the text itself ≡ the engine's
+    // 128-bit-md5 anti-join for any practical corpus
+    "q_docs_decontaminate" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents r
+        |                  WHERE r.doc_id % 10 = 0 AND r.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+    // stratified sample: same md5 hex-prefix mechanism as q_docs_split;
+    // cut points 0.5→80000000, 0.25→40000000, 0.0→00000000, 0.75→c0000000
+    "q_docs_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE source
+        |        WHEN 'src0' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |        WHEN 'src1' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |        WHEN 'src2' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '00000000'
+        |        ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
+        |      END
+        |ORDER BY doc_id""".stripMargin,
+    // best-k per group: row_number over (score desc, id) in both engines
+    "q_docs_top_per_source" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, rank, doc_id, n_chars FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // contamination probe: same md5 split cut points as q_docs_split, same
     // gram builder as q_docs_ngram_freq; worst gram by (train_df DESC,
     // gram ASC) row_number in both engines

@@ -32,6 +32,29 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies")
 
+  /** Decontamination against a REFERENCE corpus — the pass every training
+    * pipeline runs before an eval set is trusted in the other direction:
+    * remove from `docs` every document whose exact text occurs in `ref`
+    * (benchmark questions, held-out eval documents, blocklists).
+    *
+    * Shape: anti-join on the 128-bit md5 of the text — the reference side
+    * reduces to one 32-char hash per document, so an eval-set-sized `ref`
+    * broadcasts (`broadcastRef = true`, default) and the 10^12-row `docs`
+    * side is filtered in a single narrow stage with NO shuffle of the
+    * corpus. A 128-bit hash match IS a text match for any practical corpus
+    * (collision odds ~2^-128 per pair); a Bloom prefilter would add
+    * nothing here — a broadcast hash set is a Bloom filter with fpp = 0
+    * at the same order of memory once the keys are 16 bytes. For a `ref`
+    * too large to broadcast, pass `broadcastRef = false` and the planner
+    * runs a shuffle anti-join on the hash instead. */
+  def decontaminate(docs: DataFrame, textCol: String,
+                    ref: DataFrame, refTextCol: String,
+                    broadcastRef: Boolean = true): DataFrame = {
+    val refH = ref.select(md5(col(refTextCol)).as("ref_md5")).distinct()
+    docs.join(if (broadcastRef) broadcast(refH) else refH,
+      md5(col(textCol)) === col("ref_md5"), "left_anti")
+  }
+
   /** Spread a small scan across the session's default parallelism: a
     * single-file table plans one input partition, which would serialize
     * every expensive narrow stage (signatures, fingerprints) onto one core

@@ -129,6 +129,52 @@ object TextProfile {
         round(col("score"), 6).as("tfidf"))
   }
 
+  /** Hex cut point for a fraction — shared by `hashSplit` and
+    * `stratifiedSample`: the first 8 md5 hex chars compare below `cut(f)`
+    * with probability f. A fraction of exactly 1.0 would format as NINE
+    * hex chars ('100000000'), which sorts BEFORE 8-char prefixes
+    * lexicographically — clamped to a sentinel that sorts after every hex
+    * string instead ('g' > 'f'). */
+  private def cut(f: Double): String = {
+    val v = math.floor(f * 4294967296.0).toLong
+    if (v >= 0x100000000L) "g" else f"$v%08x"
+  }
+
+  /** Content-stable stratified downsampling — the corpus-mixing op: keep a
+    * per-stratum fraction of documents (e.g. downweight web crawl, keep
+    * all books), decided purely by md5(id) with the same guarantees as
+    * [[hashSplit]]: identical across runs/engines/partitionings, and a
+    * kept document STAYS kept when the corpus grows — seeded `sample()`
+    * guarantees neither. Strata absent from `rates` use `defaultRate`.
+    * Pure per-row predicate: no shuffle, no state, fully pushable. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(f =>
+      require(f >= 0 && f <= 1, s"bad rate $f"))
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    def keepFor(f: Double): Column =
+      if (f >= 1.0) lit(true) else h < lit(cut(f))
+    val keep = rates.toSeq.sortBy(_._1).foldRight(keepFor(defaultRate)) {
+      case ((stratum, f), acc) =>
+        when(col(stratumCol) === stratum, keepFor(f)).otherwise(acc)
+    }
+    docs.filter(keep)
+  }
+
+  /** Best-k documents per group by a score column — quality-based
+    * downsampling ("keep the N best docs per domain"). Deterministic:
+    * score descending, then `tieCol` ascending. The window partitions by
+    * group; per-group work is bounded by group size, and Spark's
+    * WindowGroupLimit pushes the rank filter below the sort at scale. */
+  def topPerGroup(docs: DataFrame, groupCol: String, scoreCol: Column,
+                  tieCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(scoreCol.desc, col(tieCol))
+    docs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic, content-stable train/val/test split: the standard
     * leakage-safe way to split a corpus. The split is a pure function of
     * the id's md5 (no RNG, no state), so it is identical across runs,
@@ -143,13 +189,6 @@ object TextProfile {
                 testFrac: Double = 0.1, valFrac: Double = 0.1): DataFrame = {
     require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac <= 1,
       s"bad split fractions test=$testFrac val=$valFrac")
-    // a fraction of exactly 1.0 would format as 9 hex chars ('100000000'),
-    // which sorts BEFORE 8-char prefixes lexicographically — clamp to a
-    // sentinel that sorts after every hex string instead ('g' > 'f')
-    def cut(f: Double): String = {
-      val v = math.floor(f * 4294967296.0).toLong
-      if (v >= 0x100000000L) "g" else f"$v%08x"
-    }
     val h = substring(md5(col(idCol).cast("string")), 1, 8)
     docs.withColumn("split",
       when(h < lit(cut(testFrac)), "test")

@@ -440,6 +440,55 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains("zz"), "short doc's gram has df=1 here")
   }
 
+  test("decontaminate removes exact reference-text matches, corpus unshuffled") {
+    val corpus = Seq((1L, "keep me"), (2L, "benchmark question one"),
+      (3L, "also keep"), (4L, "benchmark question two")).toDF("doc_id", "text")
+    val ref = Seq("benchmark question one", "benchmark question two",
+      "never seen").toDF("text")
+    val out = Dedup.decontaminate(corpus, "text", ref, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L), s"got $out")
+    // scale contract: broadcast anti-join — the corpus side never shuffles
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.decontaminate(corpus, "text", ref, "text")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"expected broadcast anti-join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("stratifiedSample: per-stratum rates, exact 0/1, growth-stable") {
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val rates = Map("src0" -> 0.5, "src1" -> 0.0, "src2" -> 1.0)
+    val kept = graft.pipeline.TextProfile
+      .stratifiedSample(docs, "doc_id", "source", rates, defaultRate = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(bySrc("src0") - 500) < 60, s"src0 ~50% of 1000: $bySrc")
+    assert(!bySrc.contains("src1"), "rate 0 keeps nothing")
+    assert(bySrc("src2") == 1000, "rate 1 keeps everything")
+    assert(math.abs(bySrc("src3") - 250) < 50, s"default 25%: $bySrc")
+    // growth stability: every kept doc stays kept in a bigger corpus
+    val bigger = (0L until 8000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val keptBig = graft.pipeline.TextProfile
+      .stratifiedSample(bigger, "doc_id", "source", rates, defaultRate = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.forall(k => keptBig.contains(k._1)), "no migration on growth")
+  }
+
+  test("topPerGroup: best-k by score with deterministic ties") {
+    val docs = Seq((1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),
+      (5L, "b", 7)).toDF("doc_id", "grp", "score")
+    val out = graft.pipeline.TextProfile
+      .topPerGroup(docs, "grp", col("score"), "doc_id", k = 2)
+      .collect().map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSet
+    // ties at score 30 break on doc_id: ranks 1,2 = docs 2,3
+    assert(out == Set(("a", 1, 2L), ("a", 2, 3L), ("b", 1, 5L)), s"got $out")
+  }
+
   test("tfidfTopTerms: classic tf·ln(N/df), deterministic ranking") {
     val df = Seq(
       (1L, "apple apple banana cherry"),
