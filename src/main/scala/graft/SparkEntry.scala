@@ -585,6 +585,55 @@ object SparkEntry {
         .orderBy("clip_id")
     }),
 
+    // ---- acoustic-fingerprint near-dup (audio dedup) ---------------------
+    // the audio analog of document dedup: re-uploads/re-encodes/gain
+    // changes of the same recording collide on the 64-bit acoustic
+    // fingerprint (envelope sign deltas + a zero-crossing-rate thermometer)
+    // and surface through the SAME capped multi-probe Hamming banding as
+    // text SimHash, behind an AcoustID-style ±2% duration gate. Planted:
+    // the first 20 clips re-encoded µ-law at half gain — all 20 land at
+    // Hamming ≤ 1. Rows-only (codec decode is not SQL-expressible); the
+    // fingerprint's invariances AND semantic precision (colliding fixture
+    // pairs have envelope correlation ≈ 1.0 vs ≈ 0 for random pairs — the
+    // fixture's shared tremolo makes equal-duration clips genuinely
+    // same-shaped) are unit-gated in PipelineSpec.
+    "clips_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val params = ClipGen.Params(clipRowsFor(dir))
+      val clips = s.range(0, params.n, 1,
+        math.max(8, s.sparkContext.defaultParallelism))
+        .map(i => ClipGen.row(i, params))
+      val variants = s.range(0, 20, 1, 4).map { i =>
+        val c = ClipGen.row(i, params)
+        val pcm = graft.codec.Codecs.decode(c.codec, c.bytes)
+          .getOrElse(Array.empty[Float])
+        val scaled = pcm.map(x =>
+          (math.max(-1f, math.min(1f, x * 0.5f)) * 32767f).toShort)
+        c.copy(clip_id = "re_" + c.clip_id,
+          codec = graft.codec.Codecs.Ulaw8,
+          bytes = graft.codec.Codecs.encode(graft.codec.Codecs.Ulaw8, scaled))
+      }
+      val fps = clips.union(variants).map { c =>
+        val pcm = graft.codec.Codecs.decode(c.codec, c.bytes)
+          .getOrElse(Array.empty[Float])
+        (c.clip_id, graft.rules.Heuristics.audioFingerprint(pcm), pcm.length)
+      }.toDF("clip_id", "audio_fp", "n_samples")
+      // duration gate (±2%, the AcoustID-style prefilter): a fingerprint
+      // summarizes SHAPE, so same-shaped clips of different lengths would
+      // otherwise conflate — re-encodes preserve duration exactly
+      val pairs = graft.pipeline.Dedup.hamming64Pairs(
+        fps.select("clip_id", "audio_fp"), "clip_id", "audio_fp",
+        maxHamming = 6, numBands = 4, probeBits = 1, maxBucket = 1024)
+      val n = fps.select(col("clip_id"), col("n_samples"))
+      pairs
+        .join(n.toDF("id_a", "n_a"), "id_a")
+        .join(n.toDF("id_b", "n_b"), "id_b")
+        .filter(abs(col("n_a") - col("n_b")) <=
+          greatest(col("n_a"), col("n_b")) * 0.02)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- learned-quality-head decisions (model-based scoring path) -------
     // the trained logistic head (ai_processor.py:169-331 analog) as an
     // active decision rule — rows-only like its clips_* siblings; the

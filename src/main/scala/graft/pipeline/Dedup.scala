@@ -257,11 +257,23 @@ object Dedup {
     * expansion is 2·(width+1) rows at p=2, not C(width,2). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, numBands: Int = 4,
-                   probeBits: Int = 0, maxBucket: Int = 0): DataFrame = {
+                   probeBits: Int = 0, maxBucket: Int = 0): DataFrame =
+    hamming64Pairs(simhash(docs, idCol, textCol), "id", "simhash",
+      maxHamming, numBands, probeBits, maxBucket)
+
+  /** Banded Hamming-ball pair search over ANY 64-bit hash column — the
+    * machinery behind `simhashPairs`, exposed directly so other 64-bit
+    * fingerprints (e.g. the acoustic fingerprint,
+    * `Heuristics.audioFingerprint`) ride the same capped multi-probe
+    * banding. Same recall guarantee: every pair within
+    * `numBands·(probeBits+1) − 1` Hamming is structurally found. */
+  def hamming64Pairs(hashed: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3, numBands: Int = 4,
+                     probeBits: Int = 0, maxBucket: Int = 0): DataFrame = {
     require(64 % numBands == 0, s"numBands $numBands must divide 64")
     val width = 64 / numBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simhash(docs, idCol, textCol)
+    val sh = hashed.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     val banded = sh.select(col("id"), col("simhash"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),

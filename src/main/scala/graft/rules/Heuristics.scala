@@ -162,6 +162,47 @@ object Heuristics {
       if (last == nFrames - 1) n else (last + 1) * frameLen)
   }
 
+  /** 64-bit acoustic fingerprint — the audio analog of text SimHash,
+    * feeding the same banded Hamming near-dup machinery
+    * (`Dedup.hamming64Pairs`). Two 32-bit halves:
+    *
+    *  - bits 0..31 — ENVELOPE SHAPE: the clip's time axis splits into 33
+    *    equal segments; bit i = [energy(segment i+1) > energy(segment i)].
+    *  - bits 32..63 — SPECTRAL LEVEL: a thermometer code of the mean
+    *    zero-crossing rate (bit 32+j = [zcr > j/64], thresholds covering
+    *    0..0.5 crossings/sample), so carrier-frequency distance maps to
+    *    small Hamming distance instead of arbitrary bit flips. Steady
+    *    same-envelope signals at different pitches — degenerate for an
+    *    envelope-only fingerprint — separate on this half.
+    *
+    * Invariances: GAIN (both halves compare, never measure amplitude;
+    * zero crossings are sign-based), CODEC (quantization noise flips only
+    * near-tie bits / shifts zcr by at most a thermometer step), LENGTH
+    * (segments scale with the clip). Near-identical recordings
+    * (re-uploads, re-encodes, gain changes) land within a small Hamming
+    * distance. Clips shorter than 33 samples fingerprint as 0. */
+  def audioFingerprint(pcm: Array[Float]): Long = {
+    val segs = 33
+    val n = pcm.length
+    if (n < segs) return 0L
+    val e = new Array[Double](segs)
+    var crossings = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((i.toLong * segs) / n).toInt
+      e(s) += pcm(i).toDouble * pcm(i)
+      if (i > 0 && (pcm(i) > 0f) != (pcm(i - 1) > 0f)) crossings += 1
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 32) { if (e(b + 1) > e(b)) fp |= (1L << b); b += 1 }
+    val zcr = crossings.toDouble / n
+    var j = 0
+    while (j < 32) { if (zcr > j / 64.0) fp |= (1L << (32 + j)); j += 1 }
+    fp
+  }
+
   /** Extract the full audio feature struct from decoded PCM.
     * Frame-based (non-overlapping `cfg.frameMs` windows): RMS energy per
     * frame → silence mask → opening/closing repair → speech span + segment

@@ -440,6 +440,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains("zz"), "short doc's gram has df=1 here")
   }
 
+  test("hamming64Pairs: generic 64-bit banding finds close pairs, skips far") {
+    // hand-built hashes: b is a at 2 flipped bits (ham 2, within the
+    // 4-band pigeonhole radius 3); c differs in every band (ham 16)
+    val a = 0x0123456789ABCDEFL
+    val b = a ^ 0x0000000000000003L
+    val c = a ^ 0x1111222233334444L
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "h")
+    val pairs = Dedup.hamming64Pairs(df, "id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("decontaminate removes exact reference-text matches, corpus unshuffled") {
     val corpus = Seq((1L, "keep me"), (2L, "benchmark question one"),
       (3L, "also keep"), (4L, "benchmark question two")).toDF("doc_id", "text")

@@ -28,6 +28,83 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val oracleByIdCache: Map[String, Oracle.Expected] =
     rows.map(r => r.clip_id -> Oracle.expected(r, cfg, TextModel.default)).toMap
 
+  test("acoustic fingerprint: gain-invariant, codec-robust, discriminative") {
+    import graft.rules.Heuristics.audioFingerprint
+    def synth(seed: Int): Array[Float] = {
+      // seed-dependent amplitude envelope over a carrier: distinct energy
+      // profiles per seed, deterministic
+      val n = 16000
+      Array.tabulate(n) { i =>
+        val env = 0.15 + 0.85 * math.abs(
+          math.sin(2 * math.Pi * i / (400.0 + (seed % 9) * 230.0)) *
+            math.cos(2 * math.Pi * i / (900.0 + (seed % 5) * 170.0)))
+        (env * 0.6 * math.sin(2 * math.Pi * 440 * i / 16000.0)).toFloat
+      }
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val p = synth(1)
+    // positive gain changes the energies, never the comparisons
+    assert(audioFingerprint(p) == audioFingerprint(p.map(_ * 0.37f)))
+    // µ-law re-encode: quantization noise flips only near-tie bits
+    val shorts = p.map(x => (math.max(-1f, math.min(1f, x)) * 32767f).toShort)
+    val roundTrip = Codecs.decodeUlaw(Codecs.encodeUlaw(shorts))
+    val hEnc = ham(audioFingerprint(p), audioFingerprint(roundTrip))
+    assert(hEnc <= 6, s"codec round-trip hamming $hEnc")
+    // distinct recordings sit far outside the near-dup radius (<= 6)
+    val hDiff = ham(audioFingerprint(synth(2)), audioFingerprint(p))
+    assert(hDiff >= 12, s"distinct-signal hamming $hDiff")
+    // same envelope, different pitch: separated by the spectral half
+    val octaveUp = Array.tabulate(p.length) { i =>
+      val env = 0.15 + 0.85 * math.abs(
+        math.sin(2 * math.Pi * i / (400.0 + (1 % 9) * 230.0)) *
+          math.cos(2 * math.Pi * i / (900.0 + (1 % 5) * 170.0)))
+      (env * 0.6 * math.sin(2 * math.Pi * 1760 * i / 16000.0)).toFloat
+    }
+    val hPitch = ham(audioFingerprint(p), audioFingerprint(octaveUp))
+    assert(hPitch >= 8, s"two-octave pitch shift hamming $hPitch")
+    assert(audioFingerprint(Array.empty[Float]) == 0L)
+  }
+
+  test("acoustic fingerprint collisions imply genuine envelope similarity") {
+    // semantic-precision gate: fixture clips that COLLIDE (hamming 0,
+    // duration within 2%) must be truly same-shaped — normalized-envelope
+    // correlation near 1 — while random same-ish-duration pairs sit near 0.
+    // (On this fixture the shared 2 Hz tremolo makes equal-duration clips
+    // legitimately envelope-identical; the fingerprint is measuring shape,
+    // not hallucinating matches.)
+    import graft.rules.Heuristics.audioFingerprint
+    def env(p: Array[Float], k: Int = 32): Array[Double] = {
+      val e = new Array[Double](k)
+      var i = 0
+      while (i < p.length) { e(((i.toLong * k) / p.length).toInt) += p(i) * p(i); i += 1 }
+      e
+    }
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val ma = a.sum / a.length; val mb = b.sum / b.length
+      val num = a.indices.map(i => (a(i) - ma) * (b(i) - mb)).sum
+      val d = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum) *
+        math.sqrt(b.map(x => (x - mb) * (x - mb)).sum)
+      if (d == 0) 0.0 else num / d
+    }
+    val decoded = rows.take(600).flatMap { c =>
+      Codecs.decode(c.codec, c.bytes).toOption
+        .filter(_.length > 1000).map(p => (c.clip_id, audioFingerprint(p), p))
+    }
+    val colliding = decoded.groupBy(_._2).values.filter(_.size > 1).flatMap { g =>
+      g.combinations(2).collectFirst {
+        case Seq((_, _, pa), (_, _, pb))
+          if math.abs(pa.length - pb.length) <=
+            math.max(pa.length, pb.length) * 0.02 => corr(env(pa), env(pb))
+      }
+    }.toSeq
+    colliding.foreach(c => assert(c > 0.9, s"colliding pair corr $c"))
+    val randomPairs = (0 until 20).map { k =>
+      corr(env(decoded(k * 13 % decoded.size)._3),
+        env(decoded((k * 29 + 311) % decoded.size)._3))
+    }
+    assert(randomPairs.max < 0.9, s"random pairs must not all correlate")
+  }
+
   private lazy val engineById: Map[String, (Boolean, Set[String], String)] = {
     val spark = SparkTestBase.spark
     import spark.implicits._
