@@ -420,9 +420,12 @@ object Dedup {
     * CHAINS — templated docs a∼b∼c∼… — are exactly the adversarial case).
     * Each half-step is one self-join + one map-side-combined min
     * aggregation over skinny (long, long) rows; both halves of a round
-    * share one lineage and ONE materializing Spark job (the per-round
-    * checkpoint), with convergence detected from accumulators filled
-    * DURING that same job — no separate driver action per round.
+    * share one lineage and ONE materializing driver ACTION (the per-round
+    * eager checkpoint), with convergence detected from accumulators filled
+    * DURING that same action — the round-3 design's separate per-round
+    * `count()` action, which re-ran the whole round's lineage a second
+    * time, is gone. (AQE still stages each exchange inside the action as
+    * its own scheduler job, as it does for any multi-exchange query.)
     *
     *  - large-star(u): connect every neighbor v > u to
     *    m = min(N(u) ∪ {u}) — long chains collapse toward small labels;
