@@ -438,6 +438,28 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // ---- declarative PII/toxicity scrub (R1 as column exprs) -------------
+    // the compiled-regex scrubber's EXACT ordered rule chain (email → ssn
+    // → idnum → phone → tox, each global replace seeing the prior rule's
+    // output) as codegen'd regexp expressions, with per-rule hit counts —
+    // DuckDB reproduces the chain, so the scrub spec itself is
+    // cross-engine-verified (the clips-side scrub is gated by the JVM
+    // oracle; this is the same rule set over the documents table).
+    // Planted: copies of the first 15 docs with every PII class appended.
+    "q_docs_scrub" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" reach bob.smith@example.com or " +
+            "+1-555-123-4567 id AB1234567 ssn 123-45-6789 you gorram frak"))
+            .as("text"))
+      val (scrubbed, counts) = graft.text.Scrubber.scrubCol(col("text"))
+      d.union(planted)
+        .select(Seq(col("doc_id"), scrubbed.as("scrubbed_text")) ++
+          counts.map { case (n, c) => c.as(s"n_$n") }: _*)
+        .orderBy("doc_id")
+    }),
+
     // ---- decontamination against a reference corpus ----------------------
     // the benchmark-protection pass: remove every doc whose exact text
     // occurs in the reference set (here: docs with doc_id % 10 == 0 stand
@@ -978,6 +1000,37 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the scrubber's ordered rule chain replayed step by step: counts
+    // taken before each rule's global replace, on the prior rule's output
+    "q_docs_scrub" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    text || ' reach bob.smith@example.com or +1-555-123-4567 id AB1234567 ssn 123-45-6789 you gorram frak' AS text
+        |  FROM documents WHERE doc_id < 15),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM all_docs),
+        |s2 AS (SELECT doc_id, n_email,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_ssn,
+        |  CAST(len(regexp_extract_all(t, '\b[A-Z]{2}\d{6,10}\b')) AS BIGINT) AS n_idnum,
+        |  regexp_replace(t, '\b[A-Z]{2}\d{6,10}\b', '<ID>', 'g') AS t
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_ssn, n_idnum,
+        |  CAST(len(regexp_extract_all(t, '\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]\d{3,4}\b')) AS BIGINT) AS n_phone,
+        |  regexp_replace(t, '\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]\d{3,4}\b', '<PHONE>', 'g') AS t
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, n_email, n_ssn, n_idnum, n_phone,
+        |  CAST(len(regexp_extract_all(t, '(?i)\b(frak|gorram|smeg|feldercarb|drokk)\b')) AS BIGINT) AS n_tox,
+        |  regexp_replace(t, '(?i)\b(frak|gorram|smeg|feldercarb|drokk)\b', '<TOX>', 'g') AS t
+        |  FROM s4)
+        |SELECT doc_id, t AS scrubbed_text, n_email, n_ssn, n_idnum, n_phone, n_tox
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     // decontamination: NOT EXISTS on the text itself ≡ the engine's
     // 128-bit-md5 anti-join for any practical corpus
     "q_docs_decontaminate" ->

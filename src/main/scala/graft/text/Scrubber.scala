@@ -44,6 +44,27 @@ object Scrubber {
       "<TOX>")
   )
 
+  /** Declarative (Catalyst) twin of `scrub`: the same ordered rule chain
+    * as codegen'd column expressions — per rule, the hit count via
+    * `regexp_extract_all` BEFORE that rule's global `regexp_replace`, each
+    * rule seeing the prior rule's output, exactly the JVM semantics (both
+    * sides run Java regex). Returns (scrubbed text, (rule name → count)).
+    * Lets the scrubber run inside any DataFrame plan (and be verified by
+    * an external SQL engine); exact equality with the JVM `scrub` is
+    * gated in TextSpec. */
+  def scrubCol(text: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, Seq[(String, org.apache.spark.sql.Column)]) = {
+    import org.apache.spark.sql.functions._
+    var t = text
+    val counts = rules.map { r =>
+      val c = size(regexp_extract_all(t, lit(r.pattern.pattern), lit(0)))
+        .cast("long")
+      t = regexp_replace(t, r.pattern.pattern, r.replacement)
+      r.name -> c
+    }
+    (t, counts)
+  }
+
   /** Scrub: returns (scrubbed text, per-rule hit counts — only rules that
     * fired, in canonical order). Deterministic, idempotent (replacement
     * tokens match no rule). */

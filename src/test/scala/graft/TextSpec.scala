@@ -115,6 +115,37 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("declarative scrubCol equals the JVM scrubber exactly, incl. counts") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val texts = Seq(
+      "plain row with no pii at all",
+      "mail a.b_c%d+e@sub.domain.org twice x@y.io end",
+      "ssn 123-45-6789 id AB1234567 phone +1-555-123-4567",
+      "You GORRAM frak smeg mixed Case",
+      "edge 999-99-9999x not-an-ssn-boundary", // trailing \\B: no match
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val (scrubbed, counts) = graft.text.Scrubber.scrubCol(col("text"))
+    val out = df.select(Seq(col("id"), scrubbed.as("s")) ++
+        counts.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), graft.text.Scrubber.rules.indices
+          .map(i => r.getLong(2 + i)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (expS, expHits) = graft.text.Scrubber.scrub(t)
+      val hitMap = expHits.map(h => h.rule -> h.count.toLong).toMap
+      val (gotS, gotCounts) = out(i.toLong)
+      assert(gotS == expS, s"row $i: '$gotS' vs '$expS'")
+      graft.text.Scrubber.rules.zipWithIndex.foreach { case (r, j) =>
+        assert(gotCounts(j) == hitMap.getOrElse(r.name, 0L),
+          s"row $i rule ${r.name}: ${gotCounts(j)} vs ${hitMap.getOrElse(r.name, 0L)}")
+      }
+    }
+  }
+
   test("oracle scrub equals engine scrub exactly (spec-sharing gate)") {
     val rng = new Prng(66)
     for (i <- 0 until 300) {
