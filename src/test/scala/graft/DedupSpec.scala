@@ -596,6 +596,45 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no convergence"), ex.getMessage)
   }
 
+  test("components: property check vs driver union-find over random graphs") {
+    // seeded pseudo-random edge sets across shapes (sparse, clustery,
+    // chain-heavy) — every labeling must equal a classic union-find with
+    // min-id canonical roots
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    for (seed <- 1 to 6) {
+      val rng = graft.fixture.Prng.derive(0xCC00L, seed.toLong, 7L)
+      val n = 150 + rng.nextInt(250)
+      val edges = (0 until n).map { _ =>
+        seed % 3 match {
+          case 0 => // sparse random
+            (rng.nextInt(400).toLong, rng.nextInt(400).toLong)
+          case 1 => // clustery: endpoints inside one of 8 blocks
+            val blk = rng.nextInt(8) * 50L
+            (blk + rng.nextInt(50), blk + rng.nextInt(50))
+          case _ => // chain-heavy: mostly consecutive ids + a few jumps
+            val a = rng.nextInt(300).toLong
+            (a, if (rng.nextDouble() < 0.9) a + 1 else rng.nextInt(300).toLong)
+        }
+      }.filter(e => e._1 != e._2)
+      val expected = unionFind(edges)
+      val got = Dedup.components(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: ${got.size} vs ${expected.size} labels")
+    }
+  }
+
   test("components: reliable-checkpoint mode produces identical labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
