@@ -528,6 +528,16 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
 
+    // ---- embedding-space health profile (drift monitoring) ---------------
+    // per-dimension n/mean/variance over the corpus — collapsed dims,
+    // drifted means and exploding variances are the standard embedding-
+    // table failure modes; DECIMAL sums make the stats order-independent
+    // and bit-identical cross-engine
+    "q_emb_dim_stats" -> ((s, dir) =>
+      graft.pipeline.Dedup.embDimStats(
+          s.read.parquet(t(dir, "embeddings")), "embedding")
+        .orderBy("dim")),
+
     // ---- exact cosine top-k kNN (training-data op) ------------------------
     // broadcast the QUERIES (small side) and stream the corpus — the corpus
     // is never broadcast and never shuffled whole; WindowGroupLimit prunes
@@ -1093,6 +1103,22 @@ object SparkEntry {
         |  CAST(COALESCE(w2.train_df, 0) AS BIGINT) AS worst_df
         |FROM ng LEFT JOIN (SELECT * FROM worst WHERE rn = 1) w2 USING (doc_id)
         |ORDER BY id""".stripMargin,
+    // per-dimension stats: DECIMAL sums (order-independent), squares taken
+    // in DOUBLE before the decimal cast (identical IEEE product both
+    // engines; decimal×decimal precision clipping differs at p >= 28)
+    "q_emb_dim_stats" ->
+      """WITH x AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT dim, count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM x GROUP BY dim)
+        |SELECT dim, n, round(sx / n, 6) AS mean,
+        |  round((sxx - sx * sx / n) / (n - 1), 6) AS variance
+        |FROM s ORDER BY dim""".stripMargin,
     "q_emb_knn" -> knnOracleSql,
     // ANN paths at recall-1 parameters (64×1 hyperplane banding; probe-all
     // IVF) — structurally equal to exact top-5, so the exact oracle applies

@@ -544,6 +544,30 @@ object Dedup {
 
   // ---- embeddings ----------------------------------------------------------
 
+  /** Per-dimension embedding-space statistics — the drift/health profile a
+    * pipeline monitors over its embedding column (a collapsed dimension, a
+    * drifted mean, an exploding variance are the standard embedding-table
+    * failure modes). One explode + one map-side-combined aggregate; sums
+    * run in DECIMAL so they are order-independent and bit-identical
+    * cross-engine (the square is taken in DOUBLE first — deterministic
+    * IEEE in any engine — because decimal×decimal precision clipping
+    * differs between engines at p≥28). */
+  def embDimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = spread(emb.select(col(vecCol).cast(ArrayType(DoubleType)).as("e")))
+      .select(posexplode(col("e")))
+      .select(col("pos").as("dim"), col("col").as("v"))
+    x.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(28, 12))).as("sx"),
+        sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("sxx"))
+      .select(col("dim"), col("n"),
+        round(col("sx").cast(DoubleType) / col("n"), 6).as("mean"),
+        round((col("sxx").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n")) /
+          (col("n") - 1), 6).as("variance"))
+  }
+
   /** Brute-force cosine near-dup pairs (sim ≥ minSim) via broadcast self-
     * join + the native CosineSim expression. Baseline path; use the LSH
     * variant when neither side broadcasts. */
