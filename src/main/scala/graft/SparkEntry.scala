@@ -438,6 +438,17 @@ object SparkEntry {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
+    // ---- document-length distribution (corpus QA histogram) --------------
+    // fixed 50-char buckets over n_chars: the length-distribution check a
+    // curation run eyeballs before/after filtering; pure integer math so
+    // the histogram is bit-identical cross-engine
+    "q_docs_length_hist" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .orderBy("bucket")),
+
     // ---- declarative PII/toxicity scrub (R1 as column exprs) -------------
     // the compiled-regex scrubber's EXACT ordered rule chain (email → ssn
     // → idnum → phone → tox, each global replace seeing the prior rule's
@@ -1010,6 +1021,11 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_length_hist" ->
+      """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the scrubber's ordered rule chain replayed step by step: counts
     // taken before each rule's global replace, on the prior rule's output
     "q_docs_scrub" ->
