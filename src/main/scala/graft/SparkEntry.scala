@@ -494,6 +494,58 @@ object SparkEntry {
           defaultRate = 0.75)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // ---- corpus vocabulary (tokenizer-training input) --------------------
+    // top-100 word types by frequency with deterministic ties — the
+    // term-count table a BPE/unigram tokenizer trains from. One explode +
+    // one map-side-combined count; TakeOrdered top-k, no global sort
+    "q_docs_vocab" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(100)),
+
+    // ---- keep-rate-vs-threshold calibration sweep ------------------------
+    // the curve a quality filter is tuned from: for 25 candidate noise
+    // thresholds over punct_ratio, how many docs score ≥ t. The aggregate
+    // shuffles ≤ 25 rows regardless of corpus size
+    "q_docs_quality_sweep" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val len = greatest(length(col("text")), lit(1))
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      graft.pipeline.TextProfile.thresholdSweep(d,
+          punct.cast(DoubleType) / len, buckets = 25, maxScore = 0.5)
+        .orderBy("bucket")
+    }),
+
+    // ---- per-row weighted deterministic sampling (DSIR-style) ------------
+    // keep probability proportional to document length (rate = n_chars/400,
+    // docs ≥ 400 chars always kept), decided purely by md5(doc_id) against
+    // a cut formatted FROM the rate — content-stable importance resampling
+    "q_docs_weighted_sample" -> ((s, dir) =>
+      graft.pipeline.TextProfile.weightedSample(
+          s.read.parquet(t(dir, "documents")), "doc_id",
+          col("n_chars").cast(DoubleType) / 400.0)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    // ---- cross-source duplicate overlap matrix ---------------------------
+    // where duplication comes FROM: the verified near-dup pair set joined
+    // back to sources, counted per unordered source pair — the "crawl A
+    // mirrors crawl B" diagnostic that decides which source to drop.
+    // Planted copies (id + 100000) inherit their original's source
+    "q_docs_dup_overlap" -> ((s, dir) => {
+      val src = s.read.parquet(t(dir, "documents")).select("doc_id", "source")
+      cachedNearDupPairs(s, dir)
+        .join(src.select(col("doc_id").as("ka"), col("source").as("sa")),
+          col("id_a") % 100000 === col("ka"))
+        .join(src.select(col("doc_id").as("kb"), col("source").as("sb")),
+          col("id_b") % 100000 === col("kb"))
+        .groupBy(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
+
     // ---- best-k per group (quality-based downsampling) -------------------
     // keep the 5 longest docs per source, deterministic tie-break on id —
     // the "N best per domain" selection pass
@@ -607,6 +659,31 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     }),
+
+    // ---- deterministic k-means clustering (SemDeDup stage 1) -------------
+    // distributed Lloyd over the embedding table with every choice pinned
+    // (md5-smallest init, DECIMAL-summed means rounded to 6 dp each
+    // iteration, ties → smaller cluster id) so the iterative algorithm
+    // itself is cross-engine-verified: DuckDB replays both Lloyd rounds
+    // from the same init and must land every vector in the same cluster
+    "q_emb_kmeans" -> ((s, dir) =>
+      graft.pipeline.Dedup.kmeansLabels(
+          s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")),
+
+    // ---- SemDeDup semantic near-dup (cluster → within-cluster cosine) ----
+    // the published SemDeDup shape: k-means buckets turn all-pairs cosine
+    // into k bucket-local self-joins; exact cosine ≥ 0.4 verifies inside a
+    // cluster only (that is the operator's contract — the oracle replays
+    // the same centroids and sees the identical pair set)
+    "q_emb_semdedup" -> ((s, dir) =>
+      graft.pipeline.Dedup.semDedupPairs(
+          s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+          k = 8, iters = 2, minSim = 0.4, maxCluster = 4096)
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("id_a", "id_b")),
 
     // ---- adaptive-preset decisions (T1-T6 family under the driver) -------
     // the adaptive Niblack cohort-cutoff path (reference's core decision
@@ -1075,6 +1152,70 @@ object SparkEntry {
         |        ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
         |      END
         |ORDER BY doc_id""".stripMargin,
+    // vocabulary: same split regex, same (n DESC, word) deterministic order
+    "q_docs_vocab" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS n FROM w WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // threshold sweep: same bucketing expression, same descending
+    // cumulative window, same range(25) grid fill
+    "q_docs_quality_sweep" ->
+      """WITH s AS (
+        |  SELECT least(floor(
+        |      CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) / 0.5 * 25), 24) AS bucket
+        |  FROM documents),
+        |c AS (SELECT bucket, count(*) AS n FROM s GROUP BY bucket),
+        |g AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(25)),
+        |j AS (SELECT g.bucket, coalesce(c.n, 0) AS n
+        |      FROM g LEFT JOIN c ON c.bucket = g.bucket)
+        |SELECT bucket, round(bucket * 0.5 / 25, 6) AS threshold,
+        |  sum(n) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_kept,
+        |  round(CAST(sum(n) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / sum(n) OVER (), 6) AS keep_rate
+        |FROM j ORDER BY bucket""".stripMargin,
+    // weighted sampling: the keep decision replayed from the identical
+    // md5-prefix-vs-rate-hex comparison
+    "q_docs_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= 400
+        |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      lower(lpad(to_hex(CAST(floor(
+        |        CAST(n_chars AS DOUBLE) / 400.0 * 4294967296.0) AS BIGINT)), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
+    // cross-source overlap: the q_docs_near_dup exact-Jaccard CTE joined
+    // back to sources (planted ids inherit source via doc_id % 100000)
+    "q_docs_dup_overlap" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT least(a.source, b.source) AS source_x,
+        |  greatest(a.source, b.source) AS source_y, count(*) AS n_pairs
+        |FROM p JOIN src a ON p.id_a % 100000 = a.doc_id
+        |       JOIN src b ON p.id_b % 100000 = b.doc_id
+        |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
     // best-k per group: row_number over (score desc, id) in both engines
     "q_docs_top_per_source" ->
       """WITH r AS (
@@ -1139,8 +1280,71 @@ object SparkEntry {
     // ANN paths at recall-1 parameters (64×1 hyperplane banding; probe-all
     // IVF) — structurally equal to exact top-5, so the exact oracle applies
     "q_emb_knn_lsh" -> knnOracleSql,
-    "q_emb_knn_ivf" -> knnOracleSql
+    "q_emb_knn_ivf" -> knnOracleSql,
+    // DuckDB replays both Lloyd rounds from the same md5-smallest init:
+    // every engine-side pin (DECIMAL sums, one 6-dp round per mean, ties →
+    // smaller cid, empty cluster keeps its centroid) appears verbatim here
+    "q_emb_kmeans" ->
+      (kmeansCte + """
+        |SELECT id AS vec_id, cid AS cluster FROM af ORDER BY vec_id""".stripMargin),
+    "q_emb_semdedup" ->
+      (kmeansCte + """
+        |SELECT x.cid AS cluster, x.id AS id_a, y.id AS id_b,
+        |  round(list_cosine_similarity(x.v, y.v), 4) AS sim
+        |FROM af x JOIN af y ON x.cid = y.cid AND x.id < y.id
+        |WHERE list_cosine_similarity(x.v, y.v) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
   )
+
+  /** Shared CTE chain for the k-means oracles: md5-smallest-k init (c0),
+    * two Lloyd rounds (assign a1/a2 by least Euclidean distance with cid
+    * tie-break; centroid update u1/u2 as DECIMAL-summed means rounded once
+    * to 6 dp, an emptied cluster keeping its previous centroid), and the
+    * final assignment `af(id, v, cid)` under the round-2 centroids —
+    * line-for-line the pinned semantics of `Dedup.kmeansFit`. */
+  private val kmeansCte: String =
+    """WITH e AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid,
+      |         v AS cv
+      |  FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+      |a1 AS (
+      |  SELECT id, v, cid FROM (
+      |    SELECT e.id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      |    FROM e CROSS JOIN c0 AS c) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT cid, dim, round(CAST(s AS DOUBLE) / n, 6) AS m FROM (
+      |    SELECT a.cid, d.dim,
+      |      sum(CAST(a.v[d.dim + 1] AS DECIMAL(28,12))) AS s, count(*) AS n
+      |    FROM a1 a CROSS JOIN range(64) AS d(dim) GROUP BY 1, 2)),
+      |c1 AS (
+      |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM c0 p
+      |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS cv
+      |             FROM u1 GROUP BY cid) u USING (cid)),
+      |a2 AS (
+      |  SELECT id, v, cid FROM (
+      |    SELECT e.id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      |    FROM e CROSS JOIN c1 AS c) WHERE rn = 1),
+      |u2 AS (
+      |  SELECT cid, dim, round(CAST(s AS DOUBLE) / n, 6) AS m FROM (
+      |    SELECT a.cid, d.dim,
+      |      sum(CAST(a.v[d.dim + 1] AS DECIMAL(28,12))) AS s, count(*) AS n
+      |    FROM a2 a CROSS JOIN range(64) AS d(dim) GROUP BY 1, 2)),
+      |c2 AS (
+      |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM c1 p
+      |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS cv
+      |             FROM u2 GROUP BY cid) u USING (cid)),
+      |af AS (
+      |  SELECT id, v, cid FROM (
+      |    SELECT e.id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.id
+      |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      |    FROM e CROSS JOIN c2 AS c) WHERE rn = 1)""".stripMargin
 
   /** Shared CTE family for the span-dedup oracles: planted corpus →
     * 10-word chunks → md5 → windowed keeper election. */

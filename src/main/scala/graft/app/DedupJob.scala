@@ -11,10 +11,16 @@ import graft.pipeline.Dedup
   *
   *   spark-submit --class graft.app.DedupJob <jar> \
   *     --input <documents parquet> --output <dir> \
-  *     [--mode exact|minhash|simhash|fingerprint|containment|spans] \
+  *     [--mode exact|minhash|simhash|fingerprint|containment|spans|semdedup] \
   *     [--id doc_id] [--text text] [--minJaccard 0.5] \
   *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536] \
-  *     [--cluster true] [--checkpointDir <reliable dir>]
+  *     [--cluster true] [--checkpointDir <reliable dir>] \
+  *     [--vec embedding] [--minSim 0.95] [--kClusters 256] \
+  *     [--kmeansIters 2] [--maxCluster 4096]
+  *
+  * semdedup mode runs over an EMBEDDINGS table `(id, vec, …)` instead of
+  * text: deterministic k-means buckets then within-cluster exact cosine ≥
+  * --minSim (SemDeDup); hot_buckets/ reports clusters over --maxCluster.
   *
   * Outputs under --output:
   *   pairs/        verified duplicate pairs (or keepers/ for exact mode)
@@ -52,7 +58,9 @@ object DedupJob {
       minJaccard: Double = 0.5, minContainment: Double = 0.9,
       maxBucket: Int = 65536, maxDocFreq: Int = 65536,
       cluster: Boolean = false, checkpointDir: Option[String] = None,
-      spanSep: String = "\\n{2,}", chunkWords: Int = 10)
+      spanSep: String = "\\n{2,}", chunkWords: Int = 10,
+      vecCol: String = "embedding", minSim: Double = 0.95,
+      kClusters: Int = 256, kmeansIters: Int = 2, maxCluster: Int = 4096)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val docs = spark.read.parquet(a.input)
@@ -83,6 +91,11 @@ object DedupJob {
         val fp = Dedup.fingerprints(docs, a.idCol, a.textCol)
           .select(col("id"), explode(col("fingerprint")).as("gram"))
         Dedup.hotBuckets(fp, Seq("gram"), a.maxDocFreq)
+      case "semdedup" =>
+        Dedup.hotBuckets(
+          Dedup.kmeansLabels(docs, a.idCol, a.vecCol,
+            k = a.kClusters, iters = a.kmeansIters),
+          Seq("cluster"), a.maxCluster)
       case _ => spark.emptyDataFrame
     }
 
@@ -125,6 +138,12 @@ object DedupJob {
           minContainment = a.minContainment, maxDocFreq = a.maxDocFreq), "pairs")
         Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets")) ++
           clusterOut()
+      case "semdedup" =>
+        val n = write(Dedup.semDedupPairs(docs, a.idCol, a.vecCol,
+          k = a.kClusters, iters = a.kmeansIters, minSim = a.minSim,
+          maxCluster = a.maxCluster), "pairs")
+        Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets")) ++
+          clusterOut()
       case "spans" =>
         val sp =
           if (a.spanSep == "words")
@@ -154,7 +173,12 @@ object DedupJob {
       cluster = m.getOrElse("cluster", "false").toBoolean,
       checkpointDir = m.get("checkpointDir"),
       spanSep = m.getOrElse("spanSep", "\\n{2,}"),
-      chunkWords = m.getOrElse("chunkWords", "10").toInt)
+      chunkWords = m.getOrElse("chunkWords", "10").toInt,
+      vecCol = m.getOrElse("vec", "embedding"),
+      minSim = m.getOrElse("minSim", "0.95").toDouble,
+      kClusters = m.getOrElse("kClusters", "256").toInt,
+      kmeansIters = m.getOrElse("kmeansIters", "2").toInt,
+      maxCluster = m.getOrElse("maxCluster", "4096").toInt)
 
     val builder = SparkSession.builder().appName("graft-dedup")
       .config("spark.sql.adaptive.enabled", "true")

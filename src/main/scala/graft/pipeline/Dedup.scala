@@ -749,6 +749,117 @@ object Dedup {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
 
+  // ---- semantic dedup (k-means clusters → within-cluster near-dup) --------
+
+  /** Argmin-over-centroids assignment column: for each row's vector, the id
+    * of the nearest centroid by squared Euclidean distance, ties broken by
+    * the smaller cluster id. Centroids ship as literal arrays (constant-
+    * folded into codegen); the whole expression is zip_with/aggregate HOFs,
+    * so assignment is a single narrow codegen'd stage — no join, no shuffle,
+    * no UDF. */
+  private def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val d2 = aggregate(
+        zip_with(vec, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2, lit(i)).cast("struct<d:double,cid:int>")
+    }
+    array_min(array(scored: _*)).getField("cid")
+  }
+
+  /** Deterministic distributed Lloyd k-means over an embedding column —
+    * the clustering half of SemDeDup-style semantic dedup (Abbas et al.
+    * 2023, "SemDeDup"). Every choice is pinned so the result is a pure
+    * function of the data, reproducible cross-engine and cross-run:
+    *
+    *  - init: the k vectors with the smallest `md5(id)` (content-stable —
+    *    survives corpus growth, partition layout, and engine choice, unlike
+    *    any seeded sample); cluster ids follow that md5 order;
+    *  - assignment: nearest centroid by squared Euclidean, ties → smaller
+    *    cluster id, computed by `nearestCentroid` in one narrow stage;
+    *  - update: per-(cluster, dim) mean, summed in DECIMAL (order-
+    *    independent, bit-identical across engines) and rounded once to
+    *    `meanScale` decimals — the rounding re-synchronises centroids every
+    *    iteration, so floating-point drift can never accumulate;
+    *  - an emptied cluster keeps its previous centroid.
+    *
+    * Scale shape: each iteration is one map-side-combined aggregate over
+    * k·dim cells; only the k×dim centroid table (KB) ever reaches the
+    * driver, exactly like any production k-means. Returns the final
+    * centroids indexed by cluster id. */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int = 8, iters: Int = 2, meanScale: Int = 6): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = spread(emb.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // TakeOrderedAndProject: per-partition top-k, no global sort
+      val init = e.select(col("id"), col("v"),
+          md5(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(k).collect()
+      require(init.length == k, s"kmeansFit: corpus has ${init.length} < k=$k rows")
+      var cents = init.map(_.getSeq[Double](1).toArray)
+      for (_ <- 1 to iters) {
+        val upd = e
+          .select(nearestCentroid(col("v"), cents).as("cluster"),
+            posexplode(col("v")))
+          .groupBy("cluster", "pos")
+          .agg(sum(col("col").cast(DecimalType(28, 12))).as("s"),
+            count(lit(1)).as("n"))
+          // the round happens HERE, in the engine, with the same SQL round
+          // semantics an oracle engine applies — not in driver-side Java
+          .select(col("cluster"), col("pos"),
+            round(col("s").cast(DoubleType) / col("n"), meanScale).as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
+      }
+      cents
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** (id, cluster) labels from `kmeansFit`'s final centroids — one narrow
+    * codegen'd stage over the corpus. */
+  def kmeansLabels(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 2, meanScale: Int = 6): DataFrame = {
+    val cents = kmeansFit(emb, idCol, vecCol, k, iters, meanScale)
+    emb.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .select(col("id"), nearestCentroid(col("v"), cents).as("cluster"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: cluster the corpus with
+    * deterministic k-means, then verify exact cosine ≥ `minSim` ONLY within
+    * a cluster. The cluster key turns the quadratic all-pairs cosine into
+    * k bucket-local self-joins of ~n/k rows — the published SemDeDup
+    * observation that semantic duplicates co-locate under k-means, applied
+    * as a join-key. `maxCluster` is the standard hot-bucket guard (a
+    * degenerate cluster of c rows would emit c²/2 pairs); oversized
+    * clusters are dropped loudly via the shared `capBuckets`/`hotBuckets`
+    * report, and at production scale k is sized so n/k stays far under it.
+    * Within-cluster-only is the operator's SEMANTICS (cross-cluster pairs
+    * are out of contract), so an oracle replaying the same centroids sees
+    * the identical pair set. */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 2, minSim: Double = 0.4,
+                    maxCluster: Int = 4096): DataFrame = {
+    val cents = kmeansFit(emb, idCol, vecCol, k, iters)
+    val labeled = capBuckets(
+      emb.select(col(idCol).as("id"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+        .withColumn("cluster", nearestCentroid(col("v"), cents)),
+      Seq("cluster"), maxCluster)
+    val a = labeled.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = labeled.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", CosineSim.col(col("v_a"), col("v_b")))
+      .filter(col("sim") >= minSim)
+      .select("cluster", "id_a", "id_b", "sim")
+  }
+
   /** LSH-bucketed approximate top-k neighbors for a query subset — the scale
     * path beside the exact broadcast-the-queries kNN: each query only scores
     * vectors sharing ≥1 LSH band, so the corpus is never broadcast and never

@@ -175,6 +175,54 @@ object TextProfile {
     docs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Keep-rate-vs-threshold calibration sweep — the curve a quality-filter
+    * operator is tuned from: for each candidate threshold t over `score`
+    * (a grid of `buckets` steps spanning [0, maxScore)), how many rows
+    * have score ≥ t and what corpus fraction that keeps. One narrow
+    * bucketing projection + one map-side-combined aggregate whose shuffle
+    * carries ≤ `buckets` rows per task, then a `buckets`-row window for
+    * the descending cumulative — nothing here grows with the corpus, so
+    * the sweep costs one scan at any scale. Empty buckets are filled from
+    * a `range(buckets)` grid so the curve is always complete. */
+  def thresholdSweep(docs: DataFrame, score: Column,
+                     buckets: Int, maxScore: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0 && maxScore > 0, s"bad sweep grid $buckets x $maxScore")
+    val spark = docs.sparkSession
+    val b = least(floor(score / maxScore * buckets), lit(buckets - 1))
+      .cast("long")
+    val counts = docs.select(b.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+    val filled = grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+    val desc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    filled.select(col("bucket"),
+      round(col("bucket") * maxScore / buckets, 6).as("threshold"),
+      sum(col("n")).over(desc).as("n_kept"),
+      round(sum(col("n")).over(desc).cast("double") /
+        sum(col("n")).over(all), 6).as("keep_rate"))
+  }
+
+  /** Per-row weighted deterministic sampling — the importance-resampling
+    * primitive (DSIR-style): keep a row with probability `rate` (clamped
+    * to [0, 1]), decided purely by md5(id) against a per-row hex cut
+    * formatted FROM the rate, so the draw is content-stable with the same
+    * guarantees as [[hashSplit]]: identical across runs, engines and
+    * partition layouts, and a kept row stays kept under corpus growth.
+    * Pure per-row predicate — no shuffle, no state, fully pushable. A
+    * rate ≥ 1 keeps unconditionally (the 9-hex-char '100000000' cut would
+    * otherwise sort BEFORE every 8-char prefix — same trap as `cut`). */
+  def weightedSample(docs: DataFrame, idCol: String, rate: Column): DataFrame = {
+    val r = greatest(least(rate, lit(1.0)), lit(0.0))
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val cutHex = lower(lpad(hex(floor(r * 4294967296.0).cast("long")), 8, "0"))
+    docs.filter(r >= 1.0 || h < cutHex)
+  }
+
   /** Deterministic, content-stable train/val/test split: the standard
     * leakage-safe way to split a corpus. The split is a pure function of
     * the id's md5 (no RNG, no state), so it is identical across runs,

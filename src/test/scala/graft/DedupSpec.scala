@@ -491,6 +491,55 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.forall(k => keptBig.contains(k._1)), "no migration on growth")
   }
 
+  test("thresholdSweep: exact counts, complete grid, monotone curve") {
+    val docs = (0 until 100).map(i => Tuple1(i / 100.0)).toDF("score")
+    val out = graft.pipeline.TextProfile
+      .thresholdSweep(docs, col("score"), buckets = 10, maxScore = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(out.length == 10, "one row per grid bucket")
+    out.foreach { case (b, t, nKept, rate) =>
+      assert(t == b / 10.0)
+      assert(nKept == 100 - 10 * b, s"bucket $b: scores >= $t")
+      assert(rate == (100 - 10 * b) / 100.0)
+    }
+    // empty buckets still appear (all scores identical → one hot bucket)
+    val flat = (0 until 50).map(_ => Tuple1(0.55)).toDF("score")
+    val f = graft.pipeline.TextProfile
+      .thresholdSweep(flat, col("score"), buckets = 10, maxScore = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(f.size == 10 && f(0L) == 50 && f(5L) == 50 && f(6L) == 0)
+  }
+
+  test("weightedSample: 0/1 exact, ~rate fraction, growth-stable, " +
+       "consistent with stratifiedSample at a constant rate") {
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val none = graft.pipeline.TextProfile
+      .weightedSample(docs, "doc_id", lit(0.0)).count()
+    assert(none == 0, "rate 0 keeps nothing")
+    val all = graft.pipeline.TextProfile
+      .weightedSample(docs, "doc_id", lit(1.0)).count()
+    assert(all == 4000, "rate 1 keeps everything (9-hex-char cut trap)")
+    val kept = graft.pipeline.TextProfile
+      .weightedSample(docs, "doc_id", lit(0.25))
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(kept.size - 1000) < 100, s"~25%: ${kept.size}")
+    // same md5 decision as the stratified path at the same constant rate
+    val strat = graft.pipeline.TextProfile
+      .stratifiedSample(docs, "doc_id", "source",
+        rates = Map.empty, defaultRate = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == strat, "one keep decision, two surfaces")
+    // growth stability
+    val bigger = (0L until 8000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val keptBig = graft.pipeline.TextProfile
+      .weightedSample(bigger, "doc_id", lit(0.25))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(keptBig), "no migration on growth")
+  }
+
   test("topPerGroup: best-k by score with deterministic ties") {
     val docs = Seq((1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),
       (5L, "b", 7)).toDF("doc_id", "grp", "score")
@@ -674,6 +723,22 @@ class DedupSpec extends AnyFunSuite {
       "clique pairs are exact dedup's job under the cap")
   }
 
+  test("DedupJob semdedup mode: pairs from an embeddings table + clusters") {
+    val in = java.nio.file.Files.createTempDirectory("graft_dj_emb").toString
+    embFixture().write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_dj_sd").toString
+    val m = graft.app.DedupJob.run(spark,
+      graft.app.DedupJob.Args(in, out, mode = "semdedup", idCol = "vec_id",
+        kClusters = 4, cluster = true))
+    assert(m("pairs") >= 5L, s"five planted near-dups must surface, got $m")
+    val pairs = spark.read.parquet(s"$out/pairs")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    for (i <- 0 until 5) assert(pairs.contains((i.toLong, 100L + i)))
+    val keepers = spark.read.parquet(s"$out/keepers")
+      .collect().map(r => r.getLong(0)).toSet
+    assert((0L until 5L).toSet.subsetOf(keepers), "min-id keeper per cluster")
+  }
+
   test("DedupJob --cluster writes components + keepers for a near-dup mode") {
     val in = java.nio.file.Files.createTempDirectory("graft_djc_in").toString
     docs().write.mode("overwrite").parquet(in)
@@ -701,5 +766,92 @@ class DedupSpec extends AnyFunSuite {
     assert(fp.contains((1L, 5L)), s"exact dup shares every fingerprint, got $fp")
     assert(fp.contains((1L, 2L)), "near dup shares fingerprints + J ≥ 0.5")
     assert(!fp.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // ---- deterministic k-means / SemDeDup ------------------------------------
+
+  /** Independent driver-side Lloyd reference replicating every pin of
+    * `Dedup.kmeansFit` from the spec, not the code: md5-smallest-k init,
+    * sequential-fold squared Euclidean with smaller-cid ties, DECIMAL(·,12)
+    * sums, mean = round(sum/n, 6) HALF_UP, empty cluster keeps centroid. */
+  private def refKmeans(rows: Seq[(Long, Array[Float])],
+                        k: Int, iters: Int): Map[Long, Int] = {
+    def hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val data = rows.map { case (id, v) => (id, v.map(_.toDouble)) }
+    var cents: Array[Array[Double]] =
+      data.sortBy { case (id, _) => (hex(id), id) }.take(k).map(_._2).toArray
+    def assign(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- cents.indices) {
+        var s = 0.0; var j = 0
+        while (j < v.length) { val d = v(j) - cents(c)(j); s += d * d; j += 1 }
+        if (s < bd) { bd = s; best = c }
+      }
+      best
+    }
+    val half = BigDecimal.RoundingMode.HALF_UP
+    for (_ <- 1 to iters) {
+      val byC = data.groupBy { case (_, v) => assign(v) }
+      val next = cents.map(_.clone())
+      byC.foreach { case (c, members) =>
+        for (j <- members.head._2.indices) {
+          val s = members.map(m => BigDecimal(m._2(j)).setScale(12, half)).sum
+          next(c)(j) = BigDecimal(s.toDouble / members.size)
+            .setScale(6, half).toDouble
+        }
+      }
+      cents = next
+    }
+    data.map { case (id, v) => id -> assign(v) }.toMap
+  }
+
+  test("kmeans: labels match the independent driver-side Lloyd reference") {
+    val df = embFixture()
+    val got = Dedup.kmeansLabels(df, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = refKmeans(
+      df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq,
+      k = 4, iters = 2)
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet).take(5)}")
+    assert(got.values.toSet.subsetOf((0 until 4).toSet))
+  }
+
+  test("kmeans: labels are invariant to partition layout") {
+    val df = embFixture()
+    val a = Dedup.kmeansLabels(df.repartition(1), "vec_id", "embedding",
+      k = 4, iters = 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Dedup.kmeansLabels(df.repartition(7), "vec_id", "embedding",
+      k = 4, iters = 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "DECIMAL-summed means must make labels layout-independent")
+  }
+
+  test("semDedup: planted near-dups co-cluster and surface within-cluster") {
+    val df = embFixture()
+    val pairs = Dedup.semDedupPairs(df, "vec_id", "embedding",
+      k = 4, iters = 2, minSim = 0.95).collect()
+    val ids = pairs.map(r => (r.getLong(1), r.getLong(2))).toSet
+    for (i <- 0 until 5)
+      assert(ids.contains((i.toLong, 100L + i)),
+        s"planted near-dup ($i, ${100 + i}) must share a cluster and surface")
+    // contract: every emitted pair is within one cluster
+    val labels = Dedup.kmeansLabels(df, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.foreach { r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(2)))
+      assert(r.getInt(0) == labels(r.getLong(1)), "cluster column = label")
+    }
+  }
+
+  test("semDedup: maxCluster guard drops degenerate clusters, loudly not quietly") {
+    val df = embFixture()
+    // k = 1 puts all 65 rows in one cluster; cap 16 must drop it entirely
+    val capped = Dedup.semDedupPairs(df, "vec_id", "embedding",
+      k = 1, iters = 1, minSim = 0.95, maxCluster = 16).collect()
+    assert(capped.isEmpty, "over-cap cluster contributes no pairs")
+    val uncapped = Dedup.semDedupPairs(df, "vec_id", "embedding",
+      k = 1, iters = 1, minSim = 0.95, maxCluster = 4096).collect()
+    assert(uncapped.length >= 5, "uncapped single cluster surfaces the plants")
   }
 }
