@@ -505,6 +505,13 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(100)),
 
+    // ---- PMI bigram collocations (phrase/tokenizer-merge statistics) -----
+    // top-50 consecutive word pairs by pointwise mutual information with a
+    // ≥5 pair-count floor; vocab-sized aggregates only, TakeOrdered top-k
+    "q_docs_pmi" -> ((s, dir) =>
+      graft.pipeline.TextProfile.pmiBigrams(
+        s.read.parquet(t(dir, "documents")), "text", minCount = 5, topK = 50)),
+
     // ---- keep-rate-vs-threshold calibration sweep ------------------------
     // the curve a quality filter is tuned from: for 25 candidate noise
     // thresholds over punct_ratio, how many docs score ≥ t. The aggregate
@@ -1159,6 +1166,30 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, count(*) AS n FROM w WHERE word <> ''
         |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // PMI: same tokenization, same single-ln identically-ordered arithmetic
+    "q_docs_pmi" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     w -> w <> '') AS ws
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS n_w FROM (SELECT unnest(ws) AS w FROM t)
+        |  GROUP BY w),
+        |tot AS (SELECT sum(n_w) AS n FROM uni),
+        |bi AS (
+        |  SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM (
+        |    SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t)),
+        |bcnt AS (
+        |  SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY w1, w2
+        |  HAVING count(*) >= 5)
+        |SELECT b.w1 || ' ' || b.w2 AS bigram, b.n_ab,
+        |  round(ln(CAST(b.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE) /
+        |    (CAST(a.n_w AS DOUBLE) * c.n_w)), 6) AS pmi
+        |FROM bcnt b
+        |JOIN uni a ON a.w = b.w1
+        |JOIN uni c ON c.w = b.w2
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
     // threshold sweep: same bucketing expression, same descending
     // cumulative window, same range(25) grid fill
     "q_docs_quality_sweep" ->

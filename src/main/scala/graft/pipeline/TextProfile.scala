@@ -175,6 +175,44 @@ object TextProfile {
     docs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Top-k PMI bigram collocations — the corpus-statistics pass behind
+    * phrase vocabularies and tokenizer merges: pointwise mutual information
+    * ln(n_ab·N / (n_a·n_b)) over consecutive word pairs, with a minimum
+    * pair count (PMI of rare pairs is noise). Shapes: one map-side-combined
+    * unigram count (vocab-sized output), one bigram count (pair-vocab-
+    * sized), two equi-joins of the ≥ minCount bigram table against the
+    * unigram counts (skinny word/count rows; AQE picks broadcast vs shuffle
+    * from measured sizes), TakeOrdered top-k. The corpus total N is the one
+    * driver-side scalar (an aggregate of the vocab table, standard). The
+    * log is taken in a single call on identically-ordered arithmetic so a
+    * second engine reproduces it to the rounded digit. */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Int = 5, topK: Int = 50): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      w => w =!= lit(""))
+    val toks = docs.select(ws.as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum("n_w")).collect()(0).getLong(0)
+    val pairs = toks.filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a, b).cast("struct<w1:string,w2:string>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bcnt = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bcnt
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("n_ab"),
+        round(log(col("n_ab").cast("double") * total.toDouble /
+          (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(topK)
+  }
+
   /** Keep-rate-vs-threshold calibration sweep — the curve a quality-filter
     * operator is tuned from: for each candidate threshold t over `score`
     * (a grid of `buckets` steps spanning [0, maxScore)), how many rows

@@ -540,6 +540,50 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.subsetOf(keptBig), "no migration on growth")
   }
 
+  test("semDedup and pmiBigrams plan equi-joins, never a cartesian product") {
+    val sd = Dedup.semDedupPairs(embFixture(), "vec_id", "embedding",
+      k = 4, iters = 1, minSim = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!sd.contains("CartesianProduct"),
+      "within-cluster self-join must key on the cluster column")
+    val pmi = graft.pipeline.TextProfile
+      .pmiBigrams(docs(), "text", minCount = 1, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(!pmi.contains("CartesianProduct"))
+    assert(pmi.contains("TakeOrderedAndProject"),
+      "top-k must plan as partial TakeOrdered, not a global sort")
+  }
+
+  test("pmiBigrams: closed-form PMI on a tiny corpus, count floor applied") {
+    // corpus: "x y" ×6 docs, "x z" ×6 docs, plus "q r" ×2 (below floor 5)
+    val docs = ((0 until 6).map(_ => "x y") ++ (0 until 6).map(_ => "x z") ++
+      (0 until 2).map(_ => "q r")).map(Tuple1(_)).toDF("text")
+    val out = graft.pipeline.TextProfile
+      .pmiBigrams(docs, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // N = 28 tokens; n_x = 12, n_y = 6, n_xy = 6 → pmi = ln(6·28/(12·6))
+    val want = BigDecimal(math.log(6.0 * 28 / (12.0 * 6)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.length == 2, s"q r is under the count floor: ${out.toSeq}")
+    assert(out.toSet == Set(("x y", 6L, want), ("x z", 6L, want)))
+  }
+
+  test("kmeans: an emptied cluster keeps its previous centroid") {
+    // 3 identical points: all assign to one centroid after init, so the
+    // other clusters receive no members — their centroids must persist
+    // (not NaN / zero) and labeling must stay total and deterministic
+    val df = Seq((7L, Array(1f, 1f)), (8L, Array(1f, 1f)), (9L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val labels = Dedup.kmeansLabels(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(labels.size == 3 && labels.values.toSet.size == 1,
+      s"identical points share one cluster: $labels")
+    val cents = Dedup.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 2)
+    assert(cents.length == 3)
+    assert(cents.forall(c => c.forall(x => !x.isNaN)),
+      "empty clusters keep finite centroids")
+  }
+
   test("topPerGroup: best-k by score with deterministic ties") {
     val docs = Seq((1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),
       (5L, "b", 7)).toDF("doc_id", "grp", "score")
