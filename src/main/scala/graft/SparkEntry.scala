@@ -505,6 +505,36 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(100)),
 
+    // ---- end-to-end curation recipe (the composed pipeline) --------------
+    // the standard corpus-curation chain as ONE query, each stage a library
+    // op already oracled in isolation: decontaminate against a held-out
+    // eval set (broadcast md5 anti-join, corpus never shuffled) → PII/tox
+    // scrub (codegen'd ordered regex chain) → exact dedup keeper election
+    // (one shuffle on md5 of the scrubbed text) → heuristic quality gate
+    // (length ≥ 50, punct ratio ≤ 0.1) → length-weighted deterministic
+    // sampling. DuckDB replays every stage in order, so the COMPOSITION —
+    // stage ordering and inter-stage dataflow — is cross-engine-verified,
+    // not just the pieces
+    "q_docs_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val ref = d.filter(col("doc_id") % 10 === 0).select("text")
+      val clean = graft.pipeline.Dedup.decontaminate(d, "text", ref, "text")
+      val (sc, _) = graft.text.Scrubber.scrubCol(col("text"))
+      val scr = clean.select(col("doc_id"), sc.as("sc"))
+      val wnd = Window.partitionBy(md5(col("sc"))).orderBy(col("doc_id"))
+      val deduped = scr.withColumn("rn", row_number().over(wnd))
+        .filter(col("rn") === 1)
+      val len = length(col("sc"))
+      val punct = length(regexp_replace(col("sc"), "[a-zA-Z0-9 ]", ""))
+      val quality = deduped
+        .filter(len >= 50 && punct.cast(DoubleType) / len <= 0.1)
+      graft.pipeline.TextProfile.weightedSample(quality, "doc_id",
+          len.cast(DoubleType) / 400.0)
+        .select(col("doc_id"), len.as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- PMI bigram collocations (phrase/tokenizer-merge statistics) -----
     // top-50 consecutive word pairs by pointwise mutual information with a
     // ≥5 pair-count floor; vocab-sized aggregates only, TakeOrdered top-k
@@ -1166,6 +1196,40 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, count(*) AS n FROM w WHERE word <> ''
         |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // composed curation chain, replayed stage by stage in the same order:
+    // NOT EXISTS decontamination → the 5-rule scrub chain → md5 keeper
+    // election → quality gate → length-weighted md5 sampling
+    "q_docs_curate" ->
+      """WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+        |base AS (
+        |  SELECT doc_id, text FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE md5(r.text) = md5(d.text))),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM base),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '\b[A-Z]{2}\d{6,10}\b', '<ID>', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(t, '\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]\d{3,4}\b', '<PHONE>', 'g') AS t
+        |  FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?i)\b(frak|gorram|smeg|feldercarb|drokk)\b', '<TOX>', 'g') AS t
+        |  FROM s4),
+        |ded AS (
+        |  SELECT doc_id, t,
+        |    row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+        |  FROM s5),
+        |q AS (
+        |  SELECT doc_id, t FROM ded
+        |  WHERE rn = 1 AND length(t) >= 50
+        |    AND CAST(length(regexp_replace(t, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / length(t) <= 0.1)
+        |SELECT doc_id, length(t) AS n_chars_clean FROM q
+        |WHERE length(t) >= 400
+        |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      lower(lpad(to_hex(CAST(floor(
+        |        CAST(length(t) AS DOUBLE) / 400.0 * 4294967296.0) AS BIGINT)), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
     // PMI: same tokenization, same single-ln identically-ordered arithmetic
     "q_docs_pmi" ->
       """WITH t AS (
