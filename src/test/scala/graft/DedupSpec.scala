@@ -584,6 +584,24 @@ class DedupSpec extends AnyFunSuite {
       "empty clusters keep finite centroids")
   }
 
+  test("weightedSample: per-row varying rates match a driver md5 reference") {
+    // rate varies per row (i % 5 / 4.0 ∈ {0, .25, .5, .75, 1}); the engine
+    // decision must equal an independently-computed md5-prefix comparison
+    def hex8(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+    val docs = (0L until 2000L).map(i => (i, (i % 5) / 4.0)).toDF("doc_id", "r")
+    val got = graft.pipeline.TextProfile
+      .weightedSample(docs, "doc_id", col("r"))
+      .collect().map(_.getLong(0)).toSet
+    val want = (0L until 2000L).filter { i =>
+      val r = (i % 5) / 4.0
+      r >= 1.0 || hex8(i) < f"${math.floor(r * 4294967296.0).toLong}%08x"
+    }.toSet
+    assert(got == want, s"diff ${got.diff(want).take(3)} / ${want.diff(got).take(3)}")
+  }
+
   test("topPerGroup: best-k by score with deterministic ties") {
     val docs = Seq((1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),
       (5L, "b", 7)).toDF("doc_id", "grp", "score")
