@@ -204,6 +204,22 @@ object FilterJob {
       .withColumn("chunk", col("chunk").cast("int"))
   }
 
+  /** Incremental read of the decisions committed AFTER snapshot `afterId`
+    * (exclusive) — the Iceberg incremental-append-scan pattern: a
+    * downstream consumer (dedup index, embedding build, replication)
+    * checkpoints the snapshot id it last processed and scans only the
+    * delta chunks, never the whole table. Empty delta → empty frame with
+    * the table schema (a consumer polling an unchanged table gets a
+    * well-typed no-op). */
+  def readDecisionsSince(spark: SparkSession, table: String,
+                         afterId: Long): DataFrame = {
+    val dirs = SnapshotTable.incrementalDataDirs(table, afterId)
+    if (dirs.isEmpty) readDecisions(spark, table).limit(0)
+    else spark.read.option("basePath", table + "/data").parquet(dirs: _*)
+      .withColumn("keep", col("keep").cast("boolean"))
+      .withColumn("chunk", col("chunk").cast("int"))
+  }
+
   /** Per-partition lineage table of the committed output (reference C4/G12
     * lineage contract) — computed over the cheap scalar columns of the
     * written table, aggregated map-side. */

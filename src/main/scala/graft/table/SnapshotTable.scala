@@ -123,6 +123,41 @@ object SnapshotTable {
   def isComplete(table: String): Boolean =
     currentSnapshot(table).exists(s => s.committedChunks.size == s.totalChunks)
 
+  /** A specific snapshot version from the metadata log (time travel). */
+  def snapshotAt(table: String, id: Long): Option[Snapshot] = {
+    val f = metaDir(table).resolve(s"v$id.json")
+    if (Files.exists(f)) Some(parseSnapshot(Files.readString(f))) else None
+  }
+
+  /** Incremental append consumption — the Iceberg incremental-scan
+    * contract: the chunk dirs committed AFTER snapshot `afterId`
+    * (exclusive) up to `upToId` (inclusive; default the current snapshot).
+    * Chunks are append-only and never rewritten once committed (the
+    * table's commit discipline), so the delta between two snapshots IS
+    * the set difference of their committed-chunk sets — a downstream
+    * consumer (dedup index, embedding build, replication) processes only
+    * new data instead of rescanning the table. Throws if either snapshot
+    * id is absent from the metadata log: a consumer holding a stale
+    * cursor must hear about it, not silently rescan nothing. */
+  def incrementalDataDirs(table: String, afterId: Long,
+                          upToId: Option[Long] = None): Seq[String] = {
+    val from = snapshotAt(table, afterId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot v$afterId missing from $table metadata log"))
+    val to = upToId match {
+      case Some(id) => snapshotAt(table, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot v$id missing from $table metadata log"))
+      case None => currentSnapshot(table).getOrElse(
+        throw new IllegalArgumentException(s"no current snapshot at $table"))
+    }
+    require(to.id >= from.id,
+      s"incremental range inverted: v${from.id} → v${to.id}")
+    (to.committedChunks -- from.committedChunks).toSeq.sorted
+      .map(chunkDir(table, _))
+      .filter(d => Files.exists(Paths.get(d)))
+  }
+
   // ---- (de)serialization ---------------------------------------------------
 
   private def renderSnapshot(s: Snapshot): String = {

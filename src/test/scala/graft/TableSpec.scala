@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.app.FilterJob
 import graft.fixture.{ClipGen, GenMain}
@@ -74,6 +75,39 @@ class TableSpec extends AnyFunSuite {
       .drop("chunk").collect().map(_.toString).sorted
     assert(a.length == 240 && b.length == 240)
     assert(a.sameElements(b), "resumed table content differs from uninterrupted run")
+  }
+
+  test("incremental scan between snapshots yields exactly the delta chunks") {
+    val spark = SparkTestBase.spark
+    val input = tmpDir("graft-in-inc")
+    GenMain.generate(spark, input,
+      ClipGen.Params(160, seed = 31, maxDurMs = 1200), files = 8)
+    val out = tmpDir("graft-out-inc") + "/t"
+    FilterJob.run(spark, FilterJob.JobArgs(input, out, chunks = 4,
+      saltBuckets = 4, parallelChunks = 1))
+    // snapshots v0..v3 committed chunks one at a time; a consumer that
+    // checkpointed v1 must see exactly the chunks of v2 and v3
+    val curId = SnapshotTable.currentSnapshot(out).get.id
+    assert(curId == 3L, s"4 chunk commits → v0..v3, got v$curId")
+    val full = FilterJob.readDecisions(spark, out)
+    val upTo1 = SnapshotTable.snapshotAt(out, 1L).get.committedChunks
+    val delta = FilterJob.readDecisionsSince(spark, out, afterId = 1L)
+    val deltaChunks = delta.select("chunk").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val wantChunks = SnapshotTable.currentSnapshot(out).get
+      .committedChunks -- upTo1
+    assert(deltaChunks == wantChunks, s"$deltaChunks vs $wantChunks")
+    // delta rows ∪ v1 rows == full table, with no overlap
+    val v1Rows = full.filter(col("chunk").isin(upTo1.toSeq: _*)).count()
+    assert(v1Rows + delta.count() == full.count())
+    // same-snapshot range and unchanged-table poll → typed empty frame
+    val none = FilterJob.readDecisionsSince(spark, out, afterId = curId)
+    assert(none.count() == 0
+      && none.columns.sameElements(full.columns))
+    // stale cursor pointing at a truncated log must fail loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.incrementalDataDirs(out, afterId = 99L)
+    }
   }
 
   test("input listing is pinned to the committed snapshot (Iceberg-read semantic)") {
