@@ -521,17 +521,21 @@ object SparkEntry {
       val ref = d.filter(col("doc_id") % 10 === 0).select("text")
       val clean = graft.pipeline.Dedup.decontaminate(d, "text", ref, "text")
       val (sc, _) = graft.text.Scrubber.scrubCol(col("text"))
-      val scr = clean.select(col("doc_id"), sc.as("sc"))
-      val wnd = Window.partitionBy(md5(col("sc"))).orderBy(col("doc_id"))
+      // every downstream stage needs only scalars of the scrubbed text
+      // (hash, length, punct count) — project them BEFORE the keeper
+      // election so the one shuffle carries ~50-byte rows, never the text
+      val scr = clean.select(col("doc_id"), md5(sc).as("h"),
+        length(sc).as("lc"),
+        length(regexp_replace(sc, "[a-zA-Z0-9 ]", "")).as("pc"))
+      val wnd = Window.partitionBy(col("h")).orderBy(col("doc_id"))
       val deduped = scr.withColumn("rn", row_number().over(wnd))
         .filter(col("rn") === 1)
-      val len = length(col("sc"))
-      val punct = length(regexp_replace(col("sc"), "[a-zA-Z0-9 ]", ""))
       val quality = deduped
-        .filter(len >= 50 && punct.cast(DoubleType) / len <= 0.1)
+        .filter(col("lc") >= 50 &&
+          col("pc").cast(DoubleType) / col("lc") <= 0.1)
       graft.pipeline.TextProfile.weightedSample(quality, "doc_id",
-          len.cast(DoubleType) / 400.0)
-        .select(col("doc_id"), len.as("n_chars_clean"))
+          col("lc").cast(DoubleType) / 400.0)
+        .select(col("doc_id"), col("lc").as("n_chars_clean"))
         .orderBy("doc_id")
     }),
 

@@ -568,6 +568,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSet == Set(("x y", 6L, want), ("x z", 6L, want)))
   }
 
+  test("kmeans: k larger than the corpus fails loudly, not silently") {
+    val tiny = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.kmeansFit(tiny, "vec_id", "embedding", k = 5, iters = 1)
+    }
+    assert(e.getMessage.contains("k=5"), e.getMessage)
+  }
+
   test("kmeans: an emptied cluster keeps its previous centroid") {
     // 3 identical points: all assign to one centroid after init, so the
     // other clusters receive no members — their centroids must persist
@@ -799,6 +808,38 @@ class DedupSpec extends AnyFunSuite {
     val keepers = spark.read.parquet(s"$out/keepers")
       .collect().map(r => r.getLong(0)).toSet
     assert((0L until 5L).toSet.subsetOf(keepers), "min-id keeper per cluster")
+  }
+
+  test("CurateJob: staged funnel counts and scrubbed kept output") {
+    val base = "clean filler words that make this document long enough to " +
+      "pass the minimum length quality gate easily"
+    val rows = Seq(
+      (1L, base + " one"),
+      (2L, base + " two"),
+      (3L, base + " two"),                        // exact dup of 2 → dropped
+      (4L, "eval question text that is long enough to pass the gate " + base),
+      (5L, "short"),                              // length gate
+      (6L, "!!! ??? *** ### $$$ %%% " + base.takeRight(30) + " !!!"), // punct
+      (7L, base + " mail me at a.b@example.com please")) // scrubbed, kept
+    val in = java.nio.file.Files.createTempDirectory("graft_cj_in").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val refIn = java.nio.file.Files.createTempDirectory("graft_cj_ref").toString
+    Seq(Tuple1(rows(3)._2)).toDF("text")
+      .write.mode("overwrite").parquet(refIn)
+    val out = java.nio.file.Files.createTempDirectory("graft_cj_out").toString
+    val m = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out, ref = Some(refIn),
+        fullKeepLen = 10)) // every surviving doc ≥ 10 chars → sample = all
+    assert(m("rows_in") == 7 && m("after_decontaminate") == 6)
+    assert(m("after_dedup") == 5, "one of the exact-dup pair drops")
+    assert(m("after_quality") == 3 && m("kept") == 3, s"got $m")
+    val kept = spark.read.parquet(s"$out/kept")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 2L, 7L), s"got ${kept.keySet}")
+    assert(kept(7L).contains("<EMAIL>") && !kept(7L).contains("example.com"),
+      "kept text is the SCRUBBED text")
+    val rep = spark.read.parquet(s"$out/report").collect()
+    assert(rep.length == 1 && rep(0).getLong(4) == 3)
   }
 
   test("DedupJob --cluster writes components + keepers for a near-dup mode") {
