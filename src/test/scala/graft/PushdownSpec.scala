@@ -37,6 +37,38 @@ class PushdownSpec extends AnyFunSuite {
       "unreferenced column must not be decoded")
   }
 
+  test("weightedSample is a pushable narrow predicate over a pruned scan") {
+    val df = graft.pipeline.TextProfile.weightedSample(
+        spark.read.parquet(dir), "doc_id",
+        col("shard").cast("double") / 10.0)
+      .select("doc_id", "shard")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the sampling decision must add no shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,shard:int>"),
+      s"scan must prune to the referenced columns:\n$plan")
+  }
+
+  test("kmeans assignment pass is a single narrow stage over a pruned scan") {
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(8)((i % 13).toFloat / 13f), s"pad$i"))
+      .toDF("vec_id", "embedding", "extra")
+    val d = java.nio.file.Files.createTempDirectory("graft_push_emb").toString
+    emb.write.mode("overwrite").parquet(d)
+    val cents = graft.pipeline.Dedup.kmeansFit(
+      spark.read.parquet(d), "vec_id", "embedding", k = 4, iters = 1)
+    val labels = graft.pipeline.Dedup.kmeansLabels(
+      spark.read.parquet(d), "vec_id", "embedding", k = 4, iters = 1)
+    labels.collect()
+    val plan = labels.queryExecution.executedPlan.toString
+    assert(cents.length == 4)
+    assert(!plan.contains("Exchange"),
+      s"labeling is assignment only — no shuffle:\n$plan")
+    assert(!plan.contains("extra"),
+      "unreferenced column must not be decoded")
+  }
+
   test("dedup signature queries prune the documents scan to (id, text)") {
     // the near-dup pipeline touches only two columns of a (possibly wide)
     // documents table — the scan must reflect that
