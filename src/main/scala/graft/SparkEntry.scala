@@ -726,6 +726,19 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
 
+    // ---- SemDeDup keeper election (pairs → components → keepers) ---------
+    // the end of the semantic-dedup chain: star-contraction components over
+    // the within-cluster pair set, one min-id keeper per duplicate group —
+    // graded against DuckDB recursive-CTE reachability over the SAME
+    // replayed centroids
+    "q_emb_semdedup_keepers" -> ((s, dir) =>
+      graft.pipeline.Dedup.keepers(
+          graft.pipeline.Dedup.semDedupPairs(
+            s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+            k = 8, iters = 2, minSim = 0.4, maxCluster = 4096)
+          .select("id_a", "id_b"))
+        .orderBy("keeper_id")),
+
     // ---- adaptive-preset decisions (T1-T6 family under the driver) -------
     // the adaptive Niblack cohort-cutoff path (reference's core decision
     // operator family, image_processing.py:535-601) exercised end-to-end
@@ -1392,7 +1405,26 @@ object SparkEntry {
         |  round(list_cosine_similarity(x.v, y.v), 4) AS sim
         |FROM af x JOIN af y ON x.cid = y.cid AND x.id < y.id
         |WHERE list_cosine_similarity(x.v, y.v) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+    // keeper election over the same replayed pair set: recursive-CTE
+    // reachability (the q_docs_components oracle pattern) → component =
+    // min reachable id → one keeper + cluster size per duplicate group
+    "q_emb_semdedup_keepers" ->
+      (kmeansCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |p AS (
+        |  SELECT x.id AS id_a, y.id AS id_b
+        |  FROM af x JOIN af y ON x.cid = y.cid AND x.id < y.id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component
+        |         FROM reach GROUP BY u)
+        |SELECT component AS keeper_id, count(*) AS cluster_size
+        |FROM comp GROUP BY component ORDER BY keeper_id""".stripMargin)
   )
 
   /** Shared CTE chain for the k-means oracles: md5-smallest-k init (c0),
