@@ -509,6 +509,38 @@ object SparkEntry {
           defaultRate = 0.75)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // ---- Gopher-style composite quality ruleset --------------------------
+    // the published repetition-free document-quality rule family (Rae et
+    // al. 2021 "Gopher" §A1.1) as pure column expressions: word count
+    // bounds, mean word length window, alphabetic-word fraction, symbol-
+    // to-word ratio, stopword presence — every statistic exact integer/
+    // HOF math over the split word list, so a second engine reproduces
+    // the keep bit itself, not just the scores
+    "q_docs_gopher" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val ws = filter(split(lower(col("text")), "\\s+"), w => w =!= lit(""))
+      val nWords = size(ws)
+      val wordChars = aggregate(ws, lit(0),
+        (acc, w) => acc + length(w))
+      val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+      val hashes = length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))
+      val stops = Seq("the", "a", "be", "to", "of", "and", "that", "with")
+      val nStop = stops.map(st =>
+        when(array_contains(ws, st), 1).otherwise(0)).reduce(_ + _)
+      val meanWl = wordChars.cast(DoubleType) / nWords
+      val alphaFrac = alphaWords.cast(DoubleType) / nWords
+      val symRatio = hashes.cast(DoubleType) / nWords
+      d.select(col("doc_id"), nWords.as("n_words"),
+          round(meanWl, 6).as("mean_word_len"),
+          round(alphaFrac, 6).as("alpha_frac"),
+          nStop.as("n_stop"),
+          (nWords >= 10 && nWords <= 100000 &&
+            meanWl >= 3.0 && meanWl <= 10.0 &&
+            alphaFrac >= 0.8 && symRatio <= 0.1 && nStop >= 2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus vocabulary (tokenizer-training input) --------------------
     // top-100 word types by frequency with deterministic ties — the
     // term-count table a BPE/unigram tokenizer trains from. One explode +
@@ -1217,6 +1249,37 @@ object SparkEntry {
         |        ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
         |      END
         |ORDER BY doc_id""".stripMargin,
+    // Gopher ruleset: identical word split, HOF sums, and rule bounds —
+    // the keep bit is recomputed, not copied
+    "q_docs_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    list_sum(list_transform(ws, x -> length(x))) AS word_chars,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT)
+        |      + CAST(list_contains(ws, 'be') AS INT) + CAST(list_contains(ws, 'to') AS INT)
+        |      + CAST(list_contains(ws, 'of') AS INT) + CAST(list_contains(ws, 'and') AS INT)
+        |      + CAST(list_contains(ws, 'that') AS INT) + CAST(list_contains(ws, 'with') AS INT)
+        |      AS n_stop
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  round(CAST(word_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |  round(CAST(alpha_words AS DOUBLE) / n_words, 6) AS alpha_frac,
+        |  n_stop,
+        |  (n_words >= 10 AND n_words <= 100000
+        |    AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+        |    AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+        |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+        |    AND CAST(hashes AS DOUBLE) / n_words <= 0.1
+        |    AND n_stop >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // vocabulary: same split regex, same (n DESC, word) deterministic order
     "q_docs_vocab" ->
       """WITH w AS (
