@@ -541,6 +541,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-source survival under the Gopher gate -----------------------
+    // the "which domain survives filtering" audit a curation run reads
+    // before dropping a source: per source, documents in, documents kept
+    // by the composite ruleset, and the keep rate — exact integer counts,
+    // one map-side-combined aggregate
+    "q_docs_gopher_by_source" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val ws = filter(split(lower(col("text")), "\\s+"), w => w =!= lit(""))
+      val nWords = size(ws)
+      val wordChars = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+      val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+      val hashes = length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))
+      val stops = Seq("the", "a", "be", "to", "of", "and", "that", "with")
+      val nStop = stops.map(st =>
+        when(array_contains(ws, st), 1).otherwise(0)).reduce(_ + _)
+      val meanWl = wordChars.cast(DoubleType) / nWords
+      val alphaFrac = alphaWords.cast(DoubleType) / nWords
+      val keep = nWords >= 10 && nWords <= 100000 &&
+        meanWl >= 3.0 && meanWl <= 10.0 &&
+        alphaFrac >= 0.8 && hashes.cast(DoubleType) / nWords <= 0.1 &&
+        nStop >= 2
+      d.select(col("source"), keep.as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          round(col("n_kept").cast(DoubleType) / col("n_docs"), 6).as("keep_rate"))
+        .orderBy("source")
+    }),
+
     // ---- corpus vocabulary (tokenizer-training input) --------------------
     // top-100 word types by frequency with deterministic ties — the
     // term-count table a BPE/unigram tokenizer trains from. One explode +
@@ -1280,6 +1311,39 @@ object SparkEntry {
         |    AND CAST(hashes AS DOUBLE) / n_words <= 0.1
         |    AND n_stop >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // per-source survival: the gopher keep bit recomputed, then exact
+    // integer counts per source
+    "q_docs_gopher_by_source" ->
+      """WITH w AS (
+        |  SELECT source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(ws) AS n_words,
+        |    list_sum(list_transform(ws, x -> length(x))) AS word_chars,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT)
+        |      + CAST(list_contains(ws, 'be') AS INT) + CAST(list_contains(ws, 'to') AS INT)
+        |      + CAST(list_contains(ws, 'of') AS INT) + CAST(list_contains(ws, 'and') AS INT)
+        |      + CAST(list_contains(ws, 'that') AS INT) + CAST(list_contains(ws, 'with') AS INT)
+        |      AS n_stop
+        |  FROM w),
+        |k AS (
+        |  SELECT source,
+        |    (n_words >= 10 AND n_words <= 100000
+        |      AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+        |      AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+        |      AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+        |      AND CAST(hashes AS DOUBLE) / n_words <= 0.1
+        |      AND n_stop >= 2) AS keep
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CAST(keep AS BIGINT)) AS n_kept,
+        |  round(CAST(sum(CAST(keep AS BIGINT)) AS DOUBLE) / count(*), 6) AS keep_rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // vocabulary: same split regex, same (n DESC, word) deterministic order
     "q_docs_vocab" ->
       """WITH w AS (
