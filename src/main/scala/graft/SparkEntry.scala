@@ -1341,7 +1341,7 @@ object SparkEntry {
         |      AND n_stop >= 2) AS keep
         |  FROM m)
         |SELECT source, count(*) AS n_docs,
-        |  sum(CAST(keep AS BIGINT)) AS n_kept,
+        |  CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
         |  round(CAST(sum(CAST(keep AS BIGINT)) AS DOUBLE) / count(*), 6) AS keep_rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // vocabulary: same split regex, same (n DESC, word) deterministic order
@@ -1422,8 +1422,8 @@ object SparkEntry {
         |j AS (SELECT g.bucket, coalesce(c.n, 0) AS n
         |      FROM g LEFT JOIN c ON c.bucket = g.bucket)
         |SELECT bucket, round(bucket * 0.5 / 25, 6) AS threshold,
-        |  sum(n) OVER (ORDER BY bucket DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_kept,
+        |  CAST(sum(n) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_kept,
         |  round(CAST(sum(n) OVER (ORDER BY bucket DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / sum(n) OVER (), 6) AS keep_rate

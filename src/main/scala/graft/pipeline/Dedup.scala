@@ -187,6 +187,41 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** The containment analog of `sigEstimateFilter`: prune candidate pairs
+    * with the SAME cheap MinHash Jaccard estimator, translated per pair to
+    * the containment threshold. A pair at containment exactly C with
+    * distinct-shingle counts (n_a, n_b) has intersection I = C·min(n_a,n_b)
+    * and therefore Jaccard J_req = C·min / (n_a + n_b − C·min) — so keeping
+    * pairs with ĵ ≥ J_req − 4.5σ (σ ≤ 0.5/√numHashes) is the same ≤ ~3e-6
+    * per-true-pair miss contract as the Jaccard tier. Selectivity is where
+    * it counts at scale: the sub-threshold bulk is SYMMETRIC-size pairs
+    * (n_a ≈ n_b ⇒ J_req ≈ C/(2−C) ≈ 0.82 at C = 0.9 — a tight cutoff the
+    * gram-count estimate can't deliver for short docs, where its
+    * 4.5·sqrt(0.25/minFp) margin collapses to zero selectivity), while
+    * genuinely asymmetric small-in-big pairs get the low J_req they need
+    * to survive to the exact verify. */
+  def containmentEstimateFilter(docs: DataFrame, idCol: String,
+                                textCol: String, cands: DataFrame,
+                                shingleK: Int, minContainment: Double,
+                                numHashes: Int = 128): DataFrame = {
+    val margin = 4.5 * math.sqrt(0.25 / numHashes)
+    val sig = docs.select(col(idCol).as("id"),
+      MinHashSig.col(col(textCol), shingleK, numHashes).as("sig"),
+      size(shingles(col(textCol), shingleK)).cast(DoubleType).as("n"))
+    val mn = least(col("n_a"), col("n_b"))
+    val jreq = lit(minContainment) * mn /
+      (col("n_a") + col("n_b") - lit(minContainment) * mn)
+    cands
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("est",
+        MatchCount.col(col("sig_a"), col("sig_b")).cast(DoubleType) / numHashes)
+      .filter(col("est") >= jreq - lit(margin))
+      .select("id_a", "id_b")
+  }
+
   /** Exact Jaccard verification of candidate pairs against a per-doc
     * (id, arr) set frame: two equi-joins attach the arrays to the candidate
     * set, one `array_intersect` computes |A∩B|, |A∪B| = |A|+|B|−|A∩B|.
@@ -396,9 +431,15 @@ object Dedup {
         col("n_shared").cast(DoubleType) / minFp >=
           lit(minContainment) - lit(4.5) * sqrt(lit(0.25) / minFp))
       .select("id_a", "id_b")
-    val sets = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
-      .select(col("id"), shingles(col("txt"), shingleK).as("arr"))
-    cands
+    val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
+    // MinHash estimate tier between the gram-count estimate and the
+    // shingle-array verify — the one near-dup path that lacked it until
+    // round 5, and the reason short-doc-heavy corpora (where the gram-count
+    // margin collapses) shipped full arrays to weakly-pruned candidates
+    val pruned = containmentEstimateFilter(base, "id", "txt", cands,
+      shingleK, minContainment, numHashes = 128)
+    val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
+    pruned
       .join(sets.select(col("id").as("id_a"), col("arr").as("arr_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("arr").as("arr_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
@@ -419,13 +460,16 @@ object Dedup {
     * round-3 min-label propagation needed O(diameter) rounds (duplicate
     * CHAINS — templated docs a∼b∼c∼… — are exactly the adversarial case).
     * Each half-step is one self-join + one map-side-combined min
-    * aggregation over skinny (long, long) rows; both halves of a round
-    * share one lineage and ONE materializing driver ACTION (the per-round
-    * eager checkpoint), with convergence detected from accumulators filled
-    * DURING that same action — the round-3 design's separate per-round
-    * `count()` action, which re-ran the whole round's lineage a second
-    * time, is gone. (AQE still stages each exchange inside the action as
-    * its own scheduler job, as it does for any multi-exchange query.)
+    * aggregation over skinny (long, long) rows; each round is ONE
+    * materializing eager checkpoint plus one trivial aggregate over the
+    * checkpointed (lineage-truncated) result for the convergence checksum.
+    * The checksum is computed ACTION-side — never via accumulators inside a
+    * transformation, whose updates Spark replays on task retry/speculation
+    * and which a reliable `checkpoint()`'s write job double-counts. Each
+    * round's checkpoint blocks are explicitly unpersisted once the next
+    * round is materialized, so executor storage stays O(1) rounds deep.
+    * (AQE still stages each exchange inside an action as its own scheduler
+    * job, as it does for any multi-exchange query.)
     *
     *  - large-star(u): connect every neighbor v > u to
     *    m = min(N(u) ∪ {u}) — long chains collapse toward small labels;
@@ -434,8 +478,8 @@ object Dedup {
     *
     * At the fixpoint the edge set is a star per component rooted at the
     * component's MINIMUM node id (deterministic). Convergence = the
-    * (count, order-independent hash-sum) checksum of the edge set repeating
-    * across rounds, accumulated inside the checkpoint job itself.
+    * (count, order-independent xor-of-hashes) checksum of the edge set
+    * repeating across rounds.
     *
     * Non-convergence is LOUD: exceeding `maxRounds` (default 50 ≫ the
     * O(log² n) bound for any feasible corpus) throws IllegalStateException
@@ -448,9 +492,12 @@ object Dedup {
     *
     * Ids must be integral (they travel as longs — 16-byte rows is the
     * design point); map string ids through a dictionary or hash first.
+    * A non-integral id fails the job loudly rather than casting to null
+    * and silently vanishing from the graph.
     *
-    * Returns (id, comp) for every id appearing in `pairs`, with
-    * comp = the minimum id of its cluster — deterministic. */
+    * Returns (id, comp) for every id appearing in `pairs` — including ids
+    * seen only in self-pairs, which label themselves — with comp = the
+    * minimum id of its cluster; deterministic. */
   def components(pairs: DataFrame, maxRounds: Int = 50,
                  checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
@@ -484,48 +531,74 @@ object Dedup {
         .distinct()
     }
 
-    /** Materialize one round's edge set with its checksum accumulated in
-      * the SAME job: the mapPartitions pass-through fills the accumulators
-      * while the (eager) checkpoint computes the partitions. */
-    def materialize(e: DataFrame): (DataFrame, Long, Long) = {
-      val cnt = sc.longAccumulator("cc_edges")
-      val sum = sc.longAccumulator("cc_hashsum")
-      val tagged = e.select(col("u").as("_1"), col("v").as("_2"))
-        .as[(Long, Long)].mapPartitions { it =>
-        it.map { case (a, b) =>
-          cnt.add(1L)
-          // order-independent set checksum: SUM of a 64-bit mix per edge
-          // (wrapping add); byteswap64 is Scala's public murmur-style mixer
-          sum.add(scala.util.hashing.byteswap64(a * 0x9E3779B97F4A7C15L ^ b))
-          (a, b)
-        }
-      }.toDF("u", "v")
-      val mat =
-        if (checkpointDir.isDefined) tagged.checkpoint()
-        else tagged.localCheckpoint()
-      (mat, cnt.value, sum.value)
+    /** Eagerly checkpoint one round's edge frame (lineage truncation). */
+    def checkpointFrame(e: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) e.checkpoint() else e.localCheckpoint()
+
+    /** Order-independent (count, xor-of-64-bit-hashes) set checksum,
+      * computed as one cheap aggregate over the ALREADY-materialized frame.
+      * Action-side, so exactly-once regardless of task retries/speculation —
+      * transformation-side accumulators are not (Spark only guarantees
+      * exactly-once accumulator updates in actions), and with a reliable
+      * `checkpoint()` they also double-count because the checkpoint-write
+      * job recomputes the lineage. */
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var (edges, prevCnt, prevSum) = materialize(
-      pairs.select(col("id_a").cast("long").as("u"),
-        col("id_b").cast("long").as("v"))
-        .filter(col("u") =!= col("v")).distinct())
+    /** Release a checkpointed round's storage blocks once the next round is
+      * materialized — without this the per-round localCheckpoint blocks
+      * linger in executor storage until GC + ContextCleaner get to them. */
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+      }
+
+    // Loud integral-id contract: a non-integral id would cast to null and
+    // silently vanish from the graph — fail the job instead.
+    def longId(c: Column): Column = {
+      val l = c.cast("long")
+      when(l.isNull, raise_error(lit("components: id failed the integral " +
+        "cast — map string ids through a dictionary or hash first"))
+        .cast("long")).otherwise(l)
+    }
+
+    // Round 0 keeps self-pairs: this checkpoint doubles as the universe of
+    // ids for the output contract ("every id appearing in pairs"), so ids
+    // seen ONLY in self-pairs still get a (id, id) label. The iteration
+    // itself runs on the self-loop-free view.
+    val chk0 = checkpointFrame(
+      pairs.select(longId(col("id_a")).as("u"), longId(col("id_b")).as("v"))
+        .distinct())
+    var edges = chk0.filter(col("u") =!= col("v"))
+    var (prevCnt, prevSum) = checksum(edges)
     var round = 0
     var converged = false
+    var freeable = false // round-0 edges view reads chk0 — never freed here
     while (!converged) {
       round += 1
       if (round > maxRounds)
         throw new IllegalStateException(
           s"components: no convergence after $maxRounds rounds " +
             s"(edge checksum still moving: n=$prevCnt) — raise maxRounds")
-      val (next, cnt, sum) = materialize(smallStar(largeStar(edges)))
+      val next = checkpointFrame(smallStar(largeStar(edges)))
+      val (cnt, sum) = checksum(next)
       converged = cnt == prevCnt && sum == prevSum
-      edges = next; prevCnt = cnt; prevSum = sum
+      if (freeable) freeCheckpoint(edges)
+      edges = next; freeable = true
+      prevCnt = cnt; prevSum = sum
     }
-    // fixpoint edge set = one star per component, rooted at the minimum id
-    edges.select(col("u").as("id"), col("v").as("comp"))
+    // fixpoint edge set = one star per component, rooted at the minimum id;
+    // left-join the id universe back so self-pair-only ids label themselves
+    val star = edges.select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v").as("id"), col("v").as("comp")))
       .distinct()
+    val ids = chk0.select(col("u").as("id"))
+      .union(chk0.select(col("v").as("id"))).distinct()
+    ids.join(star, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Keeper per duplicate cluster: the minimum id of each component plus

@@ -92,9 +92,14 @@ object StreamingFilter {
     *    64/numBands-bit band key are conflated (p ≈ numBands·2^-(64/numBands)
     *    per pair ≈ 6e-5 at 4 bands) — acceptable for dedup, where dropping
     *    one near-borderline clip costs nothing;
-    *  - false negatives: suppression chains do not extend (a dropped clip
-    *    registers nothing), matching keeper semantics — comparisons are
-    *    against RETAINED clips only.
+    *  - false negatives: none added by chaining — recall is against
+    *    RETAINED clips as stated above. One asymmetry to know: a clip
+    *    dropped at band stage b has already registered its keys at stages
+    *    0..b−1, so a PARTIALLY-registered dropped clip can still suppress
+    *    a later arrival on one of those earlier bands — suppression chains
+    *    partially extend through dropped clips, adding false positives
+    *    beyond the per-pair bound above (the recall guarantee is
+    *    unaffected).
     *
     * State: numBands stores × one long key per retained recent clip,
     * expiring with the watermark — bounded like the exact pass. */

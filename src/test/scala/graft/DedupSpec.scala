@@ -769,6 +769,64 @@ class DedupSpec extends AnyFunSuite {
       new java.io.File(dir).listFiles.nonEmpty, "checkpoint dir empty")
   }
 
+  test("components: per-round checkpoint blocks are freed, storage is O(1) rounds deep") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a 400-node chain needs ~10+ contraction rounds — without the explicit
+    // per-round unpersist, each round's localCheckpoint blocks would linger
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(Dedup.components(chain).count() == 400)
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(leaked <= 2,
+      s"at most the round-0 id universe + the fixpoint checkpoint may stay " +
+        s"persisted; found $leaked new persistent RDDs")
+  }
+
+  test("components: ids seen only in self-pairs label themselves") {
+    val pairs = Seq((7L, 7L), (2L, 3L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(7L -> 7L, 2L -> 2L, 3L -> 2L), s"got $comp")
+  }
+
+  test("components: a non-integral id fails loudly, never silently drops") {
+    val pairs = Seq(("doc-x", "doc-y")).toDF("id_a", "id_b")
+    intercept[Exception] { Dedup.components(pairs).collect() }
+  }
+
+  test("containment estimate tier: prunes the short-doc bulk, keeps the asymmetric true pair") {
+    // the population the gram-count estimate can NOT prune: short docs,
+    // where its 4.5·sqrt(0.25/minFp) margin collapses the threshold to ~0 —
+    // the MinHash tier's per-pair J_req ≈ C/(2−C) ≈ 0.82 cutoff must do the
+    // work there, while the small-in-big planted pair (tiny J_req) survives
+    val rng = graft.fixture.Prng.derive(0xC0DEL, 7L, 3L)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa")
+    val shorts = (100L until 180L).map { i =>
+      (i, (0 until 10).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val big = (0 until 40).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val df = (shorts ++ Seq((1L, big), (2L, big.substring(0, 120))))
+      .toDF("doc_id", "text")
+    val ids = df.select(col("doc_id"))
+    val cands = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val nCands = cands.count()
+    val kept = Dedup.containmentEstimateFilter(df, "doc_id", "text",
+      cands, shingleK = 5, minContainment = 0.9)
+    val keptPairs = kept.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptPairs.contains((1L, 2L)), "planted contained prefix must survive the tier")
+    assert(keptPairs.size <= nCands / 10,
+      s"tier must prune the symmetric short-doc bulk: kept ${keptPairs.size} of $nCands")
+    // end to end: the full operator still surfaces exactly the planted pair
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.9),
+      s"got ${pairs.mkString(",")}")
+  }
+
   test("DedupJob runs each mode end to end and writes pairs + hot-bucket report") {
     val in = java.nio.file.Files.createTempDirectory("graft_dj_in").toString
     // base docs + a clique that must land in the hot-bucket report

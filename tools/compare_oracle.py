@@ -45,12 +45,18 @@ def main():
                 yn = y is None or (isinstance(y, float) and pd.isna(y))
                 if xn and yn:
                     continue
-                eq = (str(x) == str(y)) or (
-                    isinstance(x, (int, float)) and isinstance(y, (int, float))
-                    and float(x) == float(y))
+                # The driver hash-compares STRINGIFIED values — numeric
+                # coercion must not save us here, or HUGEINT/float-dtype
+                # divergence passes locally and fails at the driver.
+                eq = str(x) == str(y)
                 if not eq:
+                    num_eq = (isinstance(x, (int, float))
+                              and isinstance(y, (int, float))
+                              and float(x) == float(y))
+                    hint = (" (numerically equal — dtype/stringify bug,"
+                            " e.g. un-CAST DuckDB HUGEINT sum)") if num_eq else ""
                     print(f"[{name}] VALUE mismatch col={c} row={i}: "
-                          f"spark={x!r} duck={y!r}")
+                          f"spark={x!r} duck={y!r}{hint}")
                     ok = False
                     break
             if not ok:
