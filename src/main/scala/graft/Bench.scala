@@ -104,11 +104,32 @@ object Bench {
     val clipsDir = ensureClips(spark, benchRows)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("clips_")).foreach { case (name, fn) =>
-        fn(spark, sfDir).count() // warm
-        results(name) = best3(fn(spark, sfDir).count(): Unit)
-      }
+    // per-query-phase steal controls: one raw-CPU control every few queries
+    // brackets each query between two controls, so an elevated query number
+    // is machine-attributed to host state (control elevated) or code
+    // (controls at floor) — the round-4 containment 42 s episode could not
+    // be attributed because this phase had no control
+    val queryCtls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val queryBounds = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("clips_"))
+    qseq.zipWithIndex.foreach { case ((name, fn), i) =>
+      if (i % 6 == 0) queryCtls += rawCpuOnce(cpus)
+      queryBounds(name) = (queryCtls.size - 1, queryCtls.size) // next ctl bounds it
+      fn(spark, sfDir).count() // warm
+      results(name) = best3(fn(spark, sfDir).count(): Unit)
+    }
+    queryCtls += rawCpuOnce(cpus) // closing control for the last group
+
+    // honest-cost row for the cache-assisted near-dup query: the session
+    // pair cache (populated by q_docs_components) plan-matches into
+    // q_docs_near_dup's plan — clear it and measure the uncached cost too
+    SparkEntry.clearPairCaches(spark)
+    val ndFn = SparkEntry.queries("q_docs_near_dup")
+    ndFn(spark, sfDir).count() // warm (nothing repopulates the cache here)
+    queryBounds("q_docs_near_dup_uncached") = (queryCtls.size - 1, queryCtls.size)
+    results("q_docs_near_dup_uncached") = best3(ndFn(spark, sfDir).count(): Unit)
+    queryCtls += rawCpuOnce(cpus)
 
     def countOnly(s: SparkSession): Unit = {
       val model = s.sparkContext.broadcast(graft.text.TextModel.default)
@@ -178,6 +199,18 @@ object Bench {
         f""""raw_ctl_phase_n$c":$t%.3f,"raw_ctl_floor_n$c":${floorByCores(c)}%.3f""" }
       .mkString(",")
 
+    // the query-phase floor is the session minimum over every n-cpus control
+    // (the query-phase controls themselves included): a query is flagged
+    // when EITHER bounding control ran ≥ 30% over that floor
+    val queryFloor = (queryCtls ++ Seq(phaseCtl(cpus), rawHi)).min
+    val queryStealFlags = queryBounds.collect {
+      case (name, (lo, hi))
+        if math.max(queryCtls(lo),
+          queryCtls(math.min(hi, queryCtls.size - 1))) > queryFloor * 1.3 =>
+        s""""$name""""
+    }
+    val queryCtlJson = queryCtls.map(t => f"$t%.3f").mkString("[", ",", "]")
+
     def eff(hi: Int, lo: Int): Double =
       ((benchRows / pipe(hi)) / (benchRows / pipe(lo))) / (hi.toDouble / lo)
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -185,6 +218,6 @@ object Bench {
     val tputs = pipe.toSeq.sortBy(_._1)
       .map { case (c, t) => f""""clips_per_sec_n$c":${benchRows / t}%.1f""" }.mkString(",")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,$tputs,"scaling_efficiency":${eff(mid, low)}%.3f,"scaling_pair":"local[$low]->local[$mid]","scaling_efficiency_n$mid-n$cpus":${eff(cpus, mid)}%.3f,"host_raw_eff_same_session_n$low-n$mid":${rawEff(rawMid, mid, rawLow, low)}%.3f,"host_raw_eff_same_session_n$mid-n$cpus":${rawEff(rawHi, cpus, rawMid, mid)}%.3f,"scaling_vs_host_ceiling":${eff(mid, low) / rawEff(rawMid, mid, rawLow, low)}%.3f,$ctls,"steal_flags":[${stealFlags.mkString(",")}]}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_rows":$benchRows,$tputs,"scaling_efficiency":${eff(mid, low)}%.3f,"scaling_pair":"local[$low]->local[$mid]","scaling_efficiency_n$mid-n$cpus":${eff(cpus, mid)}%.3f,"host_raw_eff_same_session_n$low-n$mid":${rawEff(rawMid, mid, rawLow, low)}%.3f,"host_raw_eff_same_session_n$mid-n$cpus":${rawEff(rawHi, cpus, rawMid, mid)}%.3f,"scaling_vs_host_ceiling":${eff(mid, low) / rawEff(rawMid, mid, rawLow, low)}%.3f,$ctls,"steal_flags":[${stealFlags.mkString(",")}],"query_ctls":$queryCtlJson,"query_ctl_floor":$queryFloor%.3f,"query_steal_flags":[${queryStealFlags.mkString(",")}]}""")
   }
 }

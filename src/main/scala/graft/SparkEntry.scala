@@ -40,6 +40,16 @@ object SparkEntry {
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Drop this session's cached pair frames — the bench's cache-bypass
+    * hook. Spark's CacheManager plan-matches a persisted pair frame into
+    * any query that plans the same subtree (q_docs_near_dup reads ~0.3 s
+    * cache-assisted vs ~3.4 s honest); the driver bench clears the cache
+    * and re-measures to report BOTH costs. */
+  def clearPairCaches(s: SparkSession): Unit =
+    pairCache.keys.filter(_._1 == s).foreach { k =>
+      pairCache.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
   /** Verified semantic-dup pair set for q_emb_semdedup_keepers, persisted
     * once per (session, sf-dir) — the same contract as `cachedNearDupPairs`:
     * the keepers query grades pairs → components → keepers, and the pair
@@ -614,6 +624,46 @@ object SparkEntry {
       graft.pipeline.TextProfile.weightedSample(quality, "doc_id",
           col("lc").cast(DoubleType) / 400.0)
         .select(col("doc_id"), col("lc").as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- FULL curation funnel (CurateJob --neardup --spans composition) --
+    // the production chain, not a subset: decontaminate → scrub → exact
+    // dedup → near-dup keeper election (MinHash pairs → connected
+    // components → drop non-keepers) → span-level dedup with reassembly →
+    // quality gate → length-weighted sample. DuckDB replays EVERY stage in
+    // one CTE chain (exact-Jaccard pairs + recursive reachability stand in
+    // for the banded generator + star contraction — same ground truth).
+    // Only ids, hashes, and scalars shuffle; the near-dup stage ships
+    // skinny (long, long) pairs and the span stage (id, idx, md5) rows.
+    "q_docs_curate_full" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val ref = d.filter(col("doc_id") % 10 === 0).select("text")
+      val clean = graft.pipeline.Dedup.decontaminate(d, "text", ref, "text")
+      val (sc, _) = graft.text.Scrubber.scrubCol(col("text"))
+      val scr = clean.select(col("doc_id").as("id"), sc.as("sc"))
+      val wnd = Window.partitionBy(md5(col("sc"))).orderBy(col("id"))
+      val deduped = scr.withColumn("rn", row_number().over(wnd))
+        .filter(col("rn") === 1).select("id", "sc")
+      val pairs = graft.pipeline.Dedup.nearDupPairs(deduped, "id", "sc",
+        shingleK = 5, numHashes = 80, rowsPerBand = 5, minJaccard = 0.5,
+        maxBucket = 1024).select("id_a", "id_b")
+      val nonKeepers = graft.pipeline.Dedup.components(pairs)
+        .filter(col("id") =!= col("comp")).select("id")
+      val kept1 = deduped.join(nonKeepers, Seq("id"), "left_anti")
+      val cleaned = graft.pipeline.Spans.removeDups(
+          graft.pipeline.Spans.wordChunks(kept1, "id", "sc", chunkWords = 10),
+          joinWith = " ")
+        .select(col("id"), col("cleaned_text").as("sc"))
+      val gated = cleaned.select(col("id"), col("sc"),
+          length(col("sc")).as("lc"),
+          length(regexp_replace(col("sc"), "[a-zA-Z0-9 ]", "")).as("pc"))
+        .filter(col("lc") >= 50 &&
+          col("pc").cast(DoubleType) / col("lc") <= 0.1)
+      graft.pipeline.TextProfile.weightedSample(gated, "id",
+          col("lc").cast(DoubleType) / 400.0)
+        .select(col("id").as("doc_id"), col("lc").as("n_chars_clean"))
         .orderBy("doc_id")
     }),
 
@@ -1382,6 +1432,87 @@ object SparkEntry {
         |SELECT doc_id, length(t) AS n_chars_clean FROM q
         |WHERE length(t) >= 400
         |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      lower(lpad(to_hex(CAST(floor(
+        |        CAST(length(t) AS DOUBLE) / 400.0 * 4294967296.0) AS BIGINT)), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
+    // FULL funnel: the q_docs_curate chain extended with the near-dup
+    // keeper election (exact-Jaccard pairs + recursive reachability) and
+    // the span-dedup/reassembly recipe, each stage replayed in order
+    "q_docs_curate_full" ->
+      """WITH RECURSIVE ref AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+        |base AS (
+        |  SELECT doc_id, text FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE md5(r.text) = md5(d.text))),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM base),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '\b[A-Z]{2}\d{6,10}\b', '<ID>', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(t, '\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]\d{3,4}\b', '<PHONE>', 'g') AS t
+        |  FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?i)\b(frak|gorram|smeg|feldercarb|drokk)\b', '<TOX>', 'g') AS t
+        |  FROM s4),
+        |ded AS (
+        |  SELECT doc_id, t,
+        |    row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+        |  FROM s5),
+        |dd AS (SELECT doc_id, t FROM ded WHERE rn = 1),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, length(t) - 4)) AS i
+        |        FROM dd)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |nk AS (
+        |  SELECT u AS id FROM reach GROUP BY u HAVING least(u, min(v)) < u),
+        |k1 AS (SELECT doc_id, t FROM dd
+        |       WHERE doc_id NOT IN (SELECT id FROM nk)),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM k1),
+        |sp AS (
+        |  SELECT doc_id AS id, CAST(j AS BIGINT) AS span_idx,
+        |    trim(array_to_string(ws[CAST(j*10+1 AS INTEGER):CAST(j*10+10 AS INTEGER)], ' ')) AS span
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0,
+        |            greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1, 0))) AS j
+        |        FROM w)),
+        |h AS (SELECT id, span_idx, span, md5(span) AS span_hash FROM sp
+        |      WHERE length(span) > 0),
+        |kd AS (
+        |  SELECT id, span_idx, span,
+        |    first_value(id) OVER win AS keeper_id,
+        |    first_value(span_idx) OVER win AS keeper_span_idx
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY span_hash ORDER BY id, span_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |cl AS (
+        |  SELECT id, string_agg(span, ' ' ORDER BY span_idx) AS t
+        |  FROM kd WHERE id = keeper_id AND span_idx = keeper_span_idx
+        |  GROUP BY id),
+        |q AS (
+        |  SELECT id, t FROM cl
+        |  WHERE length(t) >= 50
+        |    AND CAST(length(regexp_replace(t, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / length(t) <= 0.1)
+        |SELECT id AS doc_id, length(t) AS n_chars_clean FROM q
+        |WHERE length(t) >= 400
+        |   OR substring(md5(CAST(id AS VARCHAR)), 1, 8) <
         |      lower(lpad(to_hex(CAST(floor(
         |        CAST(length(t) AS DOUBLE) / 400.0 * 4294967296.0) AS BIGINT)), 8, '0'))
         |ORDER BY doc_id""".stripMargin,

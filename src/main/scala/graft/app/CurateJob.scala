@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.pipeline.{Dedup, TextProfile}
+import graft.pipeline.{Dedup, Spans, TextProfile}
 import graft.text.Scrubber
 
 /** spark-submit entry for end-to-end document curation — the composed
@@ -15,9 +15,13 @@ import graft.text.Scrubber
   *     --input <documents parquet> --output <dir> \
   *     [--id doc_id] [--text text] \
   *     [--ref <eval/benchmark parquet>] [--refText text] \
+  *     [--neardup true] [--minJaccard 0.5] \
+  *     [--spans true] [--spanSep '\n{2,}'] \
+  *     [--quality heuristic|learned] [--minQuality 0.5] \
   *     [--minLen 50] [--maxPunctRatio 0.1] [--fullKeepLen 400]
   *
-  * Stages, in the standard order:
+  * Stages, in the standard order (the reference's own canonical pipeline is
+  * a full chain, not a subset — image_processing.py:51-184):
   *   1. decontaminate  — drop docs whose exact text occurs in --ref
   *                       (broadcast md5 anti-join; skipped without --ref)
   *   2. scrub          — PII/toxicity regex chain; downstream stages see
@@ -25,14 +29,25 @@ import graft.text.Scrubber
   *   3. exact dedup    — one keeper (min id) per distinct scrubbed text;
   *                       the election shuffles only (id, md5, scalars),
   *                       never the text
-  *   4. quality gate   — length ≥ minLen and punct ratio ≤ maxPunctRatio
-  *   5. weighted sample— keep probability length/fullKeepLen (md5-decided,
+  *   4. near-dup       — (--neardup) MinHash-LSH pairs → connected
+  *                       components → remove every non-keeper (keeper =
+  *                       component minimum id); only skinny id pairs
+  *                       shuffle
+  *   5. span dedup     — (--spans) drop duplicated paragraphs across the
+  *                       corpus and reassemble each document from its
+  *                       surviving spans; all-boilerplate docs vanish
+  *   6. quality gate   — heuristic: length ≥ minLen and punct ratio ≤
+  *                       maxPunctRatio; learned: the trained quality head
+  *                       (broadcast artifact) score ≥ minQuality, plus the
+  *                       same length floor
+  *   7. weighted sample— keep probability length/fullKeepLen (md5-decided,
   *                       content-stable; docs ≥ fullKeepLen always kept)
   *
   * Outputs under --output:
   *   kept/    (id, scrubbed text, n_chars_clean) of surviving documents
   *   report/  one row of per-stage survivor counts — the funnel a curation
-  *            run is audited by (silent attrition is the anti-pattern)
+  *            run is audited by (silent attrition is the anti-pattern);
+  *            skipped stages report the pass-through count
   */
 object CurateJob {
 
@@ -40,6 +55,9 @@ object CurateJob {
       input: String, output: String,
       idCol: String = "doc_id", textCol: String = "text",
       ref: Option[String] = None, refTextCol: String = "text",
+      nearDup: Boolean = false, minJaccard: Double = 0.5,
+      spans: Boolean = false, spanSep: String = "\\n{2,}",
+      quality: String = "heuristic", minQuality: Double = 0.5,
       minLen: Int = 50, maxPunctRatio: Double = 0.1, fullKeepLen: Int = 400)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
@@ -54,23 +72,61 @@ object CurateJob {
     }
 
     val (sc, _) = Scrubber.scrubCol(col(a.textCol))
-    // the keeper election + gates need only scalars of the scrubbed text;
-    // keep the text column for the kept/ output but let the window key on
-    // the hash (the exchange carries the projected row once, like exact())
+    // the keeper election needs only scalars of the scrubbed text; keep the
+    // text column for the kept/ output but let the window key on the hash
+    // (the exchange carries the projected row once, like exact())
     val scr = clean.select(col(a.idCol).as("id"), sc.as("sc"))
-      .select(col("id"), col("sc"), md5(col("sc")).as("h"),
-        length(col("sc")).as("lc"),
-        length(regexp_replace(col("sc"), "[a-zA-Z0-9 ]", "")).as("pc"))
+      .select(col("id"), col("sc"), md5(col("sc")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nClean = scr.count()
       val wnd = Window.partitionBy(col("h")).orderBy(col("id"))
-      val deduped = scr.withColumn("rn", row_number().over(wnd))
-        .filter(col("rn") === 1)
-      val nDeduped = deduped.count()
-      val quality = deduped.filter(col("lc") >= a.minLen &&
-        col("pc").cast("double") / col("lc") <= a.maxPunctRatio)
+      var cur: DataFrame = scr.withColumn("rn", row_number().over(wnd))
+        .filter(col("rn") === 1).select("id", "sc")
+      val nDeduped = cur.count()
+
+      val nNearDup = if (a.nearDup) {
+        // pairs → components → keepers: remove every non-keeper. Pairs are
+        // skinny (long, long); the anti-join ships only ids — the corpus
+        // text never re-shuffles for this stage.
+        val pairs = Dedup.nearDupPairs(cur, "id", "sc",
+          minJaccard = a.minJaccard, maxBucket = 1024).select("id_a", "id_b")
+        val nonKeepers = Dedup.components(pairs)
+          .filter(col("id") =!= col("comp")).select("id")
+        cur = cur.join(nonKeepers, Seq("id"), "left_anti")
+        cur.count()
+      } else nDeduped
+
+      val nSpans = if (a.spans) {
+        // drop cross-corpus duplicate paragraphs, reassemble in span order;
+        // docs whose every span was boilerplate drop out entirely
+        cur = Spans.removeDups(
+            Spans.split(cur, "id", "sc", a.spanSep), joinWith = "\n\n")
+          .select(col("id"), col("cleaned_text").as("sc"))
+        cur.count()
+      } else nNearDup
+
+      // gate scalars are (re)computed here: the spans stage rewrites text
+      val gated = cur.select(col("id"), col("sc"),
+        length(col("sc")).as("lc"),
+        length(regexp_replace(col("sc"), "[a-zA-Z0-9 ]", "")).as("pc"))
+      val quality = a.quality match {
+        case "heuristic" =>
+          gated.filter(col("lc") >= a.minLen &&
+            col("pc").cast("double") / col("lc") <= a.maxPunctRatio)
+        case "learned" =>
+          // broadcast-artifact pattern: the trained head scores each doc in
+          // the same narrow stage (document-side analog of the learned
+          // clips preset); bitwise-checked against the independent
+          // OracleText.quality implementation in CurateSpec
+          val bc = spark.sparkContext.broadcast(graft.text.TextModel.default)
+          val scoreUdf = udf((s: String) => bc.value.qualityScore(s))
+          gated.filter(col("lc") >= a.minLen &&
+            scoreUdf(col("sc")) >= a.minQuality)
+        case other => sys.error(s"unknown --quality $other (heuristic|learned)")
+      }
       val nQuality = quality.count()
+
       val kept = TextProfile.weightedSample(quality, "id",
           col("lc").cast("double") / a.fullKeepLen)
         .select(col("id").as(a.idCol), col("sc").as(a.textCol),
@@ -79,11 +135,13 @@ object CurateJob {
       val nKept = spark.read.parquet(s"${a.output}/kept").count()
       val counts = Map(
         "rows_in" -> nIn, "after_decontaminate" -> nClean,
-        "after_dedup" -> nDeduped, "after_quality" -> nQuality,
+        "after_dedup" -> nDeduped, "after_neardup" -> nNearDup,
+        "after_spans" -> nSpans, "after_quality" -> nQuality,
         "kept" -> nKept)
-      spark.createDataFrame(Seq((nIn, nClean, nDeduped, nQuality, nKept)))
+      spark.createDataFrame(
+          Seq((nIn, nClean, nDeduped, nNearDup, nSpans, nQuality, nKept)))
         .toDF("rows_in", "after_decontaminate", "after_dedup",
-          "after_quality", "kept")
+          "after_neardup", "after_spans", "after_quality", "kept")
         .write.mode("overwrite").parquet(s"${a.output}/report")
       counts
     } finally scr.unpersist(blocking = false)
@@ -98,6 +156,12 @@ object CurateJob {
       textCol = m.getOrElse("text", "text"),
       ref = m.get("ref"),
       refTextCol = m.getOrElse("refText", "text"),
+      nearDup = m.getOrElse("neardup", "false").toBoolean,
+      minJaccard = m.getOrElse("minJaccard", "0.5").toDouble,
+      spans = m.getOrElse("spans", "false").toBoolean,
+      spanSep = m.getOrElse("spanSep", "\\n{2,}"),
+      quality = m.getOrElse("quality", "heuristic"),
+      minQuality = m.getOrElse("minQuality", "0.5").toDouble,
       minLen = m.getOrElse("minLen", "50").toInt,
       maxPunctRatio = m.getOrElse("maxPunctRatio", "0.1").toDouble,
       fullKeepLen = m.getOrElse("fullKeepLen", "400").toInt)

@@ -897,7 +897,48 @@ class DedupSpec extends AnyFunSuite {
     assert(kept(7L).contains("<EMAIL>") && !kept(7L).contains("example.com"),
       "kept text is the SCRUBBED text")
     val rep = spark.read.parquet(s"$out/report").collect()
-    assert(rep.length == 1 && rep(0).getLong(4) == 3)
+    assert(rep.length == 1 && rep(0).getAs[Long]("kept") == 3)
+    // skipped optional stages report the pass-through count
+    assert(rep(0).getAs[Long]("after_neardup") == 5 &&
+      rep(0).getAs[Long]("after_spans") == 5)
+  }
+
+  test("CurateJob: near-dup, span, and learned-quality stages in the funnel") {
+    // the learned head is trained on the LangGen corpus distribution —
+    // in-distribution sentences are the positives here (arbitrary English
+    // filler would score as junk, correctly)
+    val sents = graft.fixture.LangGen.corpus(10, seed = 555L)("aa")
+    val para = sents(0) // shared boilerplate paragraph (small J vs any doc)
+    val rows = Seq(
+      (1L, sents(1) + " " + sents(2) + " " + sents(3) + "\n\n" + para),
+      (2L, para + "\n\n" + sents(4) + " " + sents(5) + " " + sents(6)),
+      (3L, para),                                 // pure boilerplate → vanishes
+      (4L, sents(7) + " " + sents(8) + " ok"),    // near-dup keeper vs 5
+      (5L, sents(7) + " " + sents(8) + " yes"),   // near-dup non-keeper
+      (6L, "zqx " * 40)) // junk: repeated-token loop → learned head rejects
+    val in = java.nio.file.Files.createTempDirectory("graft_cj2_in").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_cj2_out").toString
+    val m = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out,
+        nearDup = true, spans = true,
+        quality = "learned", minQuality = 0.5,
+        minLen = 20, fullKeepLen = 10)) // all survivors sampled in
+    assert(m("rows_in") == 6 && m("after_dedup") == 6, s"got $m")
+    assert(m("after_neardup") == 5, s"5 drops as 4's near-dup non-keeper: $m")
+    // span stage: para kept once (doc 1, min (id, span_idx)), doc 3 vanishes
+    assert(m("after_spans") == 4, s"pure-boilerplate doc 3 must vanish: $m")
+    assert(m("after_quality") == 3 && m("kept") == 3,
+      s"junk doc 6 fails the learned head: $m")
+    val kept = spark.read.parquet(s"$out/kept")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 2L, 4L), s"got ${kept.keySet}")
+    assert(kept(1L).contains(para), "doc 1 holds the span keeper copy")
+    assert(!kept(2L).contains(para), "doc 2's duplicate span is removed")
+    // learned head agrees bitwise with the independent oracle on the judged doc
+    val oracleScore = graft.oracle.OracleText.quality(
+      graft.text.TextModel.default, rows(5)._2)
+    assert(oracleScore < 0.5, s"junk must score low, oracle says $oracleScore")
   }
 
   test("DedupJob --cluster writes components + keepers for a near-dup mode") {
