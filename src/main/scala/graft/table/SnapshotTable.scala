@@ -49,13 +49,16 @@ object SnapshotTable {
     Some(parseSnapshot(Files.readString(f)))
   }
 
-  /** Begin (or resume) a write: ensures dirs exist and deletes any
-    * uncommitted chunk dirs left by a killed run. Returns committed set. */
+  /** Begin (or resume) a write: ensures dirs exist, deletes any
+    * uncommitted chunk dirs left by a killed run, and repairs a compaction
+    * that crashed mid-swap (committed chunk dir missing, retained pre-
+    * compaction files present → restore them). Returns committed set. */
   def open(table: String, totalChunks: Int): Set[Int] = {
     Files.createDirectories(metaDir(table))
     Files.createDirectories(Paths.get(table, "data"))
     val committed = currentSnapshot(table).map(_.committedChunks).getOrElse(Set.empty)
-    // clean partial output of uncommitted chunks (idempotent resume)
+    // clean partial output of uncommitted chunks (idempotent resume) and
+    // tmp dirs of compactions that crashed before their swap
     val dataDir = Paths.get(table, "data")
     Using.resource(Files.list(dataDir)) { stream =>
       stream.iterator().asScala.foreach { p =>
@@ -63,8 +66,19 @@ object SnapshotTable {
         if (n.startsWith("chunk=")) {
           val id = n.stripPrefix("chunk=").toInt
           if (!committed.contains(id)) deleteRecursively(p)
-        }
+        } else if (n.startsWith(".compact-tmp-")) deleteRecursively(p)
       }
+    }
+    // compaction crash window: old dir already renamed to its retention
+    // name, new dir not yet moved into place — the retained files ARE the
+    // chunk (row-identical by the compaction contract), so restore the
+    // newest retention copy
+    committed.foreach { c =>
+      val live = Paths.get(chunkDir(table, c))
+      if (!Files.exists(live)) retainedDirs(table, c).sortBy(-_._2)
+        .headOption.foreach { case (p, _) =>
+          Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
+        }
     }
     committed
   }
@@ -123,10 +137,18 @@ object SnapshotTable {
   def isComplete(table: String): Boolean =
     currentSnapshot(table).exists(s => s.committedChunks.size == s.totalChunks)
 
-  /** A specific snapshot version from the metadata log (time travel). */
+  /** A specific snapshot version from the metadata log (time travel).
+    * A version that EXISTED but was removed by [[expireSnapshots]] fails
+    * loudly — a reader pinned to an expired snapshot must hear that its
+    * snapshot is gone, never silently fall back to nothing. */
   def snapshotAt(table: String, id: Long): Option[Snapshot] = {
     val f = metaDir(table).resolve(s"v$id.json")
-    if (Files.exists(f)) Some(parseSnapshot(Files.readString(f))) else None
+    if (Files.exists(f)) Some(parseSnapshot(Files.readString(f)))
+    else if (currentSnapshot(table).exists(_.id > id))
+      throw new IllegalStateException(
+        s"snapshot v$id at $table was expired by retention " +
+          "(expireSnapshots); re-pin to a retained snapshot")
+    else None
   }
 
   /** Incremental append consumption — the Iceberg incremental-scan
@@ -157,6 +179,141 @@ object SnapshotTable {
       .map(chunkDir(table, _))
       .filter(d => Files.exists(Paths.get(d)))
   }
+
+  // ---- table maintenance (Iceberg expire_snapshots / rewrite_data_files) --
+
+  /** Retention dirs holding a chunk's pre-compaction files, with the
+    * snapshot id that last referenced them: `data/.chunk=<c>.v<id>.old`. */
+  private def retainedDirs(table: String, chunk: Int): Seq[(Path, Long)] = {
+    val dataDir = Paths.get(table, "data")
+    if (!Files.exists(dataDir)) return Seq.empty
+    val re = (s"\\.chunk=$chunk\\.v(\\d+)\\.old").r
+    Using.resource(Files.list(dataDir)) { stream =>
+      stream.iterator().asScala.flatMap { p =>
+        re.findFirstMatchIn(p.getFileName.toString)
+          .map(m => p -> m.group(1).toLong)
+      }.toSeq
+    }
+  }
+
+  /** Expire all but the newest `keepLast` snapshots (Iceberg
+    * `expire_snapshots`): without retention, a chunked-commit table at
+    * 10^12-clip scale accretes one metadata version per chunk commit and
+    * one retained pre-compaction file set per compaction, forever.
+    * Deletes the expired `v<N>.json` metadata files plus every retained
+    * pre-compaction dir no surviving snapshot references (its recorded
+    * snapshot id predates the oldest kept version). The current snapshot
+    * is always kept; a reader later calling [[snapshotAt]] /
+    * [[incrementalDataDirs]] with an expired id fails loudly.
+    * Returns the expired snapshot ids. */
+  def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no current snapshot at $table"))
+    val vRe = """v(\d+)\.json""".r
+    val ids = Using.resource(Files.list(metaDir(table))) { stream =>
+      stream.iterator().asScala.flatMap(p =>
+        vRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+        .toSeq.sorted
+    }
+    val kept = ids.takeRight(keepLast).toSet + cur.id
+    val expired = ids.filterNot(kept)
+    expired.foreach(id => Files.deleteIfExists(metaDir(table).resolve(s"v$id.json")))
+    // retained pre-compaction files are referenced only by snapshots whose
+    // id <= the retention tag; once the oldest kept version is newer, no
+    // reader can reach them any more
+    val minKept = kept.min
+    cur.committedChunks.foreach { c =>
+      retainedDirs(table, c).collect { case (p, id) if id < minKept =>
+        deleteRecursively(p)
+      }
+    }
+    expired
+  }
+
+  /** Small-file compaction for one committed chunk (Iceberg
+    * `rewrite_data_files`): a chunked commit protocol writes
+    * |keep|·|lang|·salt files per CHUNK — at 10^12-clip scale with
+    * thousands of resumable chunks the per-file open cost starts to
+    * dominate reads. Rewrites the chunk with `targetTasks` writer tasks
+    * (≈1 file per partition leaf), preserving the row multiset exactly —
+    * verified before the swap by row count + an order-insensitive content
+    * checksum (bit_xor of xxhash64 over every column) — then swaps the
+    * rewrite in with the old file set retained as
+    * `data/.chunk=<c>.v<id>.old` until [[expireSnapshots]] drops the last
+    * snapshot that could reference it. Commits a new snapshot (same chunk
+    * set, bumped id) so the log records the rewrite. A crash mid-swap is
+    * repaired by [[open]]. Readers see identical rows throughout: the
+    * snapshot log pins chunk CONTENT, which compaction never changes. */
+  def compactChunk(spark: org.apache.spark.sql.SparkSession, table: String,
+                   chunk: Int, targetTasks: Int = 1): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{bit_xor => bxor, col, xxhash64}
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no current snapshot at $table"))
+    require(cur.committedChunks.contains(chunk),
+      s"chunk $chunk is not committed at $table (cannot compact)")
+    val live = chunkDir(table, chunk)
+    val tmp = Paths.get(table, "data", s".compact-tmp-chunk=$chunk")
+    deleteRecursively(tmp)
+
+    def checksum(dir: String): (Long, Long, Long) = {
+      val df = spark.read.option("basePath", dir).parquet(dir)
+      val cols = df.columns.sorted.map(c => col(c).cast("string"))
+      val row = df.select(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        bxor(xxhash64(cols: _*))).collect()(0)
+      val nFiles = countFiles(Paths.get(dir))
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1), nFiles)
+    }
+
+    val before = spark.read.option("basePath", live).parquet(live)
+    // partition columns = the key=value directory levels between the chunk
+    // dir and the data files; walk one branch down (Hive layout keeps every
+    // branch at the same depth with the same keys)
+    val partCols = {
+      val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+      var at = Paths.get(live)
+      var descend = true
+      while (descend) {
+        val kv = Using.resource(Files.list(at))(_.iterator().asScala
+          .find(p => Files.isDirectory(p) &&
+            p.getFileName.toString.contains("=")))
+        kv match {
+          case Some(p) => keys += p.getFileName.toString.takeWhile(_ != '='); at = p
+          case None => descend = false
+        }
+      }
+      keys.toSeq
+    }
+    val writer = (if (partCols.nonEmpty)
+        before.repartition(math.max(1, targetTasks), partCols.map(col): _*)
+      else before.repartition(math.max(1, targetTasks)))
+      .write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp.toString)
+
+    val (n0, x0, files0) = checksum(live)
+    val (n1, x1, files1) = checksum(tmp.toString)
+    if (n0 != n1 || x0 != x1) {
+      deleteRecursively(tmp)
+      throw new IllegalStateException(
+        s"compaction of $live failed verification: rows $n0→$n1, " +
+          s"checksum $x0→$x1 — rewrite discarded, chunk untouched")
+    }
+    val retained = Paths.get(table, "data", s".chunk=$chunk.v${cur.id}.old")
+    deleteRecursively(retained)
+    Files.move(Paths.get(live), retained, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
+    commitChunk(table, chunk, cur.totalChunks, Map(
+      "compactions" -> 1L,
+      "compacted_files_removed" -> math.max(0L, files0 - files1)))
+    Map("rows" -> n0, "files_before" -> files0, "files_after" -> files1)
+  }
+
+  private def countFiles(p: Path): Long =
+    if (Files.isDirectory(p))
+      Using.resource(Files.list(p))(_.iterator().asScala.map(countFiles).sum)
+    else if (p.getFileName.toString.endsWith(".parquet")) 1L else 0L
 
   // ---- (de)serialization ---------------------------------------------------
 

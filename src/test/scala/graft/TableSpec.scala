@@ -167,6 +167,94 @@ class TableSpec extends AnyFunSuite {
     assert(FilterJob.readDecisions(spark, outC).count() == 100)
   }
 
+  test("compaction rewrites small files, preserves the row multiset; expire drops old snapshots + retained files") {
+    val spark = SparkTestBase.spark
+    val input = tmpDir("graft-in-cmp")
+    GenMain.generate(spark, input,
+      ClipGen.Params(120, seed = 43, maxDurMs = 1200), files = 4)
+    val out = tmpDir("graft-out-cmp") + "/t"
+    FilterJob.run(spark, FilterJob.JobArgs(input, out, chunks = 2,
+      saltBuckets = 8, parallelChunks = 1))
+    val before = FilterJob.readDecisions(spark, out)
+      .collect().map(_.toString).sorted
+
+    // fragment chunk 0 into many small files (what thousands of salted
+    // writer tasks produce at scale): same rows, round-robin over 6 tasks
+    val c0 = SnapshotTable.chunkDir(out, 0)
+    val frag = tmpDir("graft-frag")
+    spark.read.option("basePath", c0).parquet(c0)
+      .repartition(6).write.partitionBy("keep", "lang")
+      .mode("overwrite").parquet(frag)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().forEachRemaining(rmTree) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(c0))
+    Files.move(Paths.get(frag), Paths.get(c0))
+    val id0 = SnapshotTable.currentSnapshot(out).get.id
+
+    val stats = SnapshotTable.compactChunk(spark, out, chunk = 0)
+    assert(stats("files_after") < stats("files_before"),
+      s"compaction must shrink the file count: $stats")
+    // snapshot log records the rewrite; chunk set unchanged
+    val cur = SnapshotTable.currentSnapshot(out).get
+    assert(cur.id == id0 + 1 && cur.counters("compactions") == 1L)
+    assert(cur.committedChunks == Set(0, 1))
+    // row multiset byte-identical through the rewrite
+    val after = FilterJob.readDecisions(spark, out)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compaction changed table content")
+    // pre-compaction files retained until expiration
+    assert(Files.exists(Paths.get(out, "data", s".chunk=0.v$id0.old")))
+
+    // resume still works over the compacted table: open() keeps both chunks
+    assert(SnapshotTable.open(out, 2) == Set(0, 1))
+    assert(FilterJob.readDecisions(spark, out).count() == before.length)
+
+    // expire all but the latest snapshot: old v-files AND the retained
+    // pre-compaction dir go away; current snapshot keeps reading fine
+    val expired = SnapshotTable.expireSnapshots(out, keepLast = 1)
+    assert(expired.nonEmpty && !expired.contains(cur.id))
+    assert(!Files.exists(Paths.get(out, "metadata", s"v$id0.json")))
+    assert(!Files.exists(Paths.get(out, "data", s".chunk=0.v$id0.old")))
+    assert(FilterJob.readDecisions(spark, out)
+      .collect().map(_.toString).sorted.sameElements(before))
+    // a reader pinned to an expired snapshot fails loudly
+    intercept[IllegalStateException] { SnapshotTable.snapshotAt(out, id0) }
+    intercept[IllegalStateException] {
+      SnapshotTable.incrementalDataDirs(out, afterId = 0L)
+    }
+    // a never-existed future id still reads as absent, not expired
+    assert(SnapshotTable.snapshotAt(out, cur.id + 50).isEmpty)
+  }
+
+  test("compaction crash mid-swap is repaired by open()") {
+    val spark = SparkTestBase.spark
+    val input = tmpDir("graft-in-cmp2")
+    GenMain.generate(spark, input,
+      ClipGen.Params(60, seed = 47, maxDurMs = 1200), files = 2)
+    val out = tmpDir("graft-out-cmp2") + "/t"
+    FilterJob.run(spark, FilterJob.JobArgs(input, out, chunks = 2, saltBuckets = 4))
+    val before = FilterJob.readDecisions(spark, out)
+      .collect().map(_.toString).sorted
+    val id0 = SnapshotTable.currentSnapshot(out).get.id
+    // simulate the crash window: live dir renamed to its retention name,
+    // replacement never moved in (plus a stale compaction tmp dir)
+    val live = Paths.get(SnapshotTable.chunkDir(out, 1))
+    Files.move(live, Paths.get(out, "data", s".chunk=1.v$id0.old"))
+    Files.createDirectories(Paths.get(out, "data", ".compact-tmp-chunk=1"))
+    val committed = SnapshotTable.open(out, 2)
+    assert(committed == Set(0, 1))
+    assert(Files.exists(live), "open() must restore the retained chunk files")
+    assert(!Files.exists(Paths.get(out, "data", ".compact-tmp-chunk=1")))
+    val after = FilterJob.readDecisions(spark, out)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after))
+  }
+
   test("decision table partition layout prunes on keep/lang") {
     val spark = SparkTestBase.spark
     val input = tmpDir("graft-in2")
