@@ -111,6 +111,11 @@ object Bench {
     // be attributed because this phase had no control
     val queryCtls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val queryBounds = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
+    // JIT-warm the control itself: the first rawCpuOnce of a JVM pays sha256
+    // + loop compilation (~10x) and would flag its whole query group as
+    // host-degraded (BENCH_r05 session evidence: first ctl 0.39 s vs a
+    // 0.04 s floor)
+    (1 to 2).foreach(_ => rawCpuOnce(cpus))
     val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("clips_"))
     qseq.zipWithIndex.foreach { case ((name, fn), i) =>
@@ -201,12 +206,15 @@ object Bench {
 
     // the query-phase floor is the session minimum over every n-cpus control
     // (the query-phase controls themselves included): a query is flagged
-    // when EITHER bounding control ran ≥ 30% over that floor
+    // when EITHER bounding control ran ≥ 50% over that floor. 1.5x, not
+    // 1.3x: at n32 the control is ~40 ms and scheduling jitter alone spans
+    // ±30% (BENCH_r05 session: warm controls 0.040-0.052 with no steal) —
+    // the flag is for multi-x steal episodes, not scheduler noise
     val queryFloor = (queryCtls ++ Seq(phaseCtl(cpus), rawHi)).min
     val queryStealFlags = queryBounds.collect {
       case (name, (lo, hi))
         if math.max(queryCtls(lo),
-          queryCtls(math.min(hi, queryCtls.size - 1))) > queryFloor * 1.3 =>
+          queryCtls(math.min(hi, queryCtls.size - 1))) > queryFloor * 1.5 =>
         s""""$name""""
     }
     val queryCtlJson = queryCtls.map(t => f"$t%.3f").mkString("[", ",", "]")

@@ -593,6 +593,16 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(100)),
 
+    // ---- BPE merge training (subword tokenizer induction) ----------------
+    // four rounds of most-frequent-pair merging over the corpus word table;
+    // deterministic (exact integer counts, (lhs, rhs) tie-break), and the
+    // oracle replays ALL FOUR rounds from the raw text — the iterative
+    // algorithm itself is cross-engine-verified, like q_emb_kmeans
+    "q_docs_bpe" -> ((s, dir) =>
+      graft.pipeline.TextProfile.bpeMerges(
+        s.read.parquet(t(dir, "documents")), "text", rounds = 4)
+        .orderBy("round")),
+
     // ---- end-to-end curation recipe (the composed pipeline) --------------
     // the standard corpus-curation chain as ONE query, each stage a library
     // op already oracled in isolation: decontaminate against a held-out
@@ -685,6 +695,24 @@ object SparkEntry {
       graft.pipeline.TextProfile.thresholdSweep(d,
           punct.cast(DoubleType) / len, buckets = 25, maxScore = 0.5)
         .orderBy("bucket")
+    }),
+
+    // ---- CCNet-style per-language head/middle/tail bucketing -------------
+    // each language's docs split into score tertiles by EXACT rank
+    // cutoffs (bucket = floor(3·|{score' < score}|/n_lang)) — computed via
+    // a distinct-score aggregate + cumulative window, never a corpus-sized
+    // per-stratum sort; ties share a bucket, so no id tie-break is needed
+    "q_docs_ppl_buckets" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val len = greatest(length(col("text")), lit(1))
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      graft.pipeline.TextProfile.rankBuckets(d, "lang",
+          round(punct.cast(DoubleType) / len, 6), nBuckets = 3)
+        .select(col("doc_id"), col("lang"), col("score"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            col("bucket") + 1).as("bucket_label"),
+          col("bucket"))
+        .orderBy("doc_id")
     }),
 
     // ---- per-row weighted deterministic sampling (DSIR-style) ------------
@@ -1401,6 +1429,36 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, count(*) AS n FROM w WHERE word <> ''
         |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // BPE merge training: ALL FOUR rounds replayed from the raw text —
+    // each round re-derives its own argmax pair (exact integer counts,
+    // (lhs, rhs) tie-break) and applies the same sentinel-space literal
+    // replace (both engines scan left-to-right continuing after each
+    // replacement = greedy left-to-right BPE)
+    "q_docs_bpe" -> {
+      def r(i: Int) =
+        s"""p$i AS (
+           |  SELECT s.lst[i] AS lhs, s.lst[i+1] AS rhs, sum(t.cnt) AS n
+           |  FROM t${i - 1} t,
+           |  LATERAL (SELECT string_split(trim(t.toks), ' ') AS lst) s,
+           |  LATERAL unnest(generate_series(1, len(s.lst) - 1)) AS g(i)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT $i AS round, lhs, rhs, lhs || rhs AS merged, n
+           |  FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+           |t$i AS (SELECT t.cnt,
+           |  replace(t.toks, ' '||b.lhs||' '||b.rhs||' ', ' '||b.merged||' ') AS toks
+           |  FROM t${i - 1} t, b$i b)""".stripMargin
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+         |    FROM documents) WHERE word <> '' GROUP BY word),
+         |t0 AS (SELECT cnt,
+         |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS toks FROM wc),
+         |${(1 to 4).map(r).mkString(",\n")}
+         |SELECT round, lhs, rhs, merged, CAST(n AS BIGINT) AS n
+         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+         |      UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4)
+         |ORDER BY round""".stripMargin
+    },
     // composed curation chain, replayed stage by stage in the same order:
     // NOT EXISTS decontamination → the 5-rule scrub chain → md5 keeper
     // election → quality gate → length-weighted md5 sampling
@@ -1559,6 +1617,29 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / sum(n) OVER (), 6) AS keep_rate
         |FROM j ORDER BY bucket""".stripMargin,
+    // CCNet tertiles: the exact-rank-cutoff formula replayed — per-(lang,
+    // score) counts, cumulative strictly-below count, floor(3·cum_lt/n)
+    "q_docs_ppl_buckets" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1), 6) AS score
+        |  FROM documents),
+        |h AS (SELECT lang, score, count(*) AS cnt FROM s GROUP BY 1, 2),
+        |c AS (SELECT lang, score,
+        |        sum(cnt) OVER (PARTITION BY lang ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_lt,
+        |        sum(cnt) OVER (PARTITION BY lang) AS n_stratum
+        |      FROM h),
+        |b AS (SELECT lang, score,
+        |        CAST(floor(3 * CAST(cum_lt AS DOUBLE) / n_stratum) AS INT) AS bucket
+        |      FROM c)
+        |SELECT s.doc_id, s.lang, s.score,
+        |  CASE b.bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket_label,
+        |  b.bucket
+        |FROM s JOIN b ON s.lang = b.lang AND s.score = b.score
+        |ORDER BY doc_id""".stripMargin,
     // weighted sampling: the keep decision replayed from the identical
     // md5-prefix-vs-rate-hex comparison
     "q_docs_weighted_sample" ->

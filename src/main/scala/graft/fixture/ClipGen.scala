@@ -40,6 +40,7 @@ object ClipGen {
     val Pii           = "pii"             // 4%  (kept, scrubbed)
     val EmptyText     = "empty_text"      // 3%
     val PaddedSilence = "padded_silence"  // 3%  (kept — M9 edge trim rescues)
+    val Hum           = "hum"             // 2%  (50/60 Hz mains hum under speech)
   }
 
   private val defectCdf: IndexedSeq[(Double, String)] = {
@@ -50,7 +51,8 @@ object ClipGen {
       Defect.Clipped -> 0.03, Defect.FlatRange -> 0.02, Defect.Pii -> 0.04,
       Defect.EmptyText -> 0.03,
       // appended last so earlier classes' draw ranges are unchanged
-      Defect.PaddedSilence -> 0.03)
+      Defect.PaddedSilence -> 0.03,
+      Defect.Hum -> 0.02)
     var acc = 0.0
     probs.map { case (d, p) => acc += p; (acc, d) }
   }
@@ -97,6 +99,12 @@ object ClipGen {
     // near-silence rows must sit below the silence floor, noise included
     val noiseAmp = if (mode == Defect.NearSilence) noiseAmp0 * 0.05 else noiseAmp0
     val flat = mode == Defect.FlatRange
+    // mains hum rides under everything, pauses included (H7 planted defect);
+    // draws only happen in hum mode so other modes' PRNG streams are unchanged
+    val (humAmp, humHz) =
+      if (mode == Defect.Hum)
+        (0.06 + rng.nextDouble() * 0.04, if (rng.nextDouble() < 0.5) 50.0 else 60.0)
+      else (0.0, 0.0)
 
     // burst/pause schedule in samples
     var i = 0
@@ -124,7 +132,8 @@ object ClipGen {
           mod * speechAmp * (math.sin(twoPi * f1 * t) + 0.5 * math.sin(twoPi * f2 * t) +
             0.25 * math.sin(twoPi * f3 * t)) / 1.75
         else 0.0
-      val x0 = (base + (if (flat) 0.0 else noiseAmp * rng.nextGaussian() * 0.3)) * gain
+      val x0 = (base + (if (flat) 0.0 else noiseAmp * rng.nextGaussian() * 0.3) +
+        humAmp * math.sin(twoPi * humHz * t)) * gain
       val x = math.max(-0.9999, math.min(0.9999, x0))
       out(i) = math.round(x * 32767.0).toShort
       i += 1

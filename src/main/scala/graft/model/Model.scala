@@ -42,6 +42,10 @@ final case class AudioFeatures(
     band_contrast_db: Double,
     // P19 polarity/offset sanity: mean sample (DC offset)
     dc_offset: Double,
+    // H7 spectral hum: fraction of spectral power in the mains-hum band
+    // (≤ 75 Hz, DC excluded; Hann-windowed 1024-sample frames) — the 1-D
+    // analog of the reference's periodic line-artifact detection
+    hum_frac: Double,
     // O5 per-segment vector: duration of each detected speech segment (ms)
     segment_ms: Seq[Double]
 )
@@ -70,6 +74,7 @@ final case class DecisionRow(
     silence_frac: Double,
     clip_frac: Double,
     dyn_range_db: Double,
+    hum_frac: Double,
     speech_ms: Double,
     n_segments: Int,
     chars_per_sec: Double,
@@ -102,10 +107,11 @@ object Reason {
   val Silence       = "silence"           // H5
   val Clipping      = "clipping"          // H5
   val FlatRange     = "flat_dyn_range"    // H6
+  val Hum           = "mains_hum"         // H7
   val LowQuality    = "low_quality_model" // learned head (opt-in)
   val all: Seq[String] = Seq(DecodeError, EmptyText, WrongLanguage, LowLangConf,
     HighPplChar, HighPplWord, LengthRatio, Repetition, SymbolDensity,
-    DurMismatch, Silence, Clipping, FlatRange, LowQuality)
+    DurMismatch, Silence, Clipping, FlatRange, Hum, LowQuality)
 }
 
 /** Typed filter configuration (reference analog: 40-key settings map with
@@ -148,6 +154,11 @@ final case class FilterConfig(
     maxClipFrac: Double = 0.02,
     // H6 dynamic range floor (dB)
     minDynRangeDb: Double = 3.0,
+    // H7 mains-hum ceiling: max fraction of spectral power in the ≤ 75 Hz
+    // band. Clean speech at the 8 kHz grid sits < 0.005 (hum-band content
+    // is noise + Hann sidelobe leakage only); 50/60 Hz hum riding under the
+    // signal pushes it over 0.1
+    maxHumFrac: Double = 0.02,
     // learned quality head floor (≤ 0 disables the rule; the score column
     // is always emitted) — reference's model-based scoring path
     // (`ai_processor.py:169-331`) as an opt-in decision rule
@@ -193,6 +204,7 @@ final case class FilterConfig(
   require(maxDurMismatch > 0, s"maxDurMismatch $maxDurMismatch")
   require(maxSilenceFrac >= 0 && maxSilenceFrac <= 1, s"maxSilenceFrac $maxSilenceFrac")
   require(maxClipFrac >= 0 && maxClipFrac <= 1, s"maxClipFrac $maxClipFrac")
+  require(maxHumFrac >= 0 && maxHumFrac <= 1, s"maxHumFrac $maxHumFrac")
   require(frameMs >= 1 && frameMs <= 1000, s"frameMs $frameMs")
   require(referenceHz >= 0, s"referenceHz $referenceHz")
   require(tokenScoresFrac >= 0 && tokenScoresFrac <= 1, s"tokenScoresFrac $tokenScoresFrac")

@@ -33,6 +33,7 @@ final case class FeatureRow(
     dyn_range_long_db: Double,
     band_contrast_db: Double,
     dc_offset: Double,
+    hum_frac: Double,
     segment_ms: Seq[Double],
     dur_mismatch: Double,
     lang: String,
@@ -112,7 +113,7 @@ object FilterPipeline {
             counters.foreach(_.decodeErrors.add(1))
             (false, reason,
               AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0,
-                0.0, 0.0, 0.0, 0.0, Nil), 0.0)
+                0.0, 0.0, 0.0, 0.0, 0.0, Nil), 0.0)
         }
 
         val t = clip.transcript
@@ -154,6 +155,7 @@ object FilterPipeline {
           dyn_range_long_db = af.dyn_range_long_db,
           band_contrast_db = af.band_contrast_db,
           dc_offset = af.dc_offset,
+          hum_frac = af.hum_frac,
           segment_ms = af.segment_ms,
           dur_mismatch = mismatch,
           lang = lang, lang_conf = conf, ppl_char = pplC, ppl_word = pplW,
@@ -193,7 +195,8 @@ object FilterPipeline {
       when(decoded && col("dur_mismatch") > cfg.maxDurMismatch, Reason.DurMismatch),
       when(decoded && col("silence_frac") > cfg.maxSilenceFrac, Reason.Silence),
       when(decoded && col("clip_frac") > cfg.maxClipFrac, Reason.Clipping),
-      when(decoded && col("dyn_range_db") < cfg.minDynRangeDb, Reason.FlatRange)
+      when(decoded && col("dyn_range_db") < cfg.minDynRangeDb, Reason.FlatRange),
+      when(decoded && col("hum_frac") > cfg.maxHumFrac, Reason.Hum)
     ) ++
       // learned quality head: opt-in rule (Presets.learned) — a disabled
       // config contributes no expression, so default plans are unchanged
@@ -341,7 +344,8 @@ object FilterPipeline {
       col("silence_frac"), col("clip_frac"), col("dyn_range_db"),
       col("speech_ms"), col("n_segments"),
       col("dyn_range_mid_db"), col("dyn_range_long_db"),
-      col("band_contrast_db"), col("dc_offset"), col("segment_ms"),
+      col("band_contrast_db"), col("dc_offset"), col("hum_frac"),
+      col("segment_ms"),
       col("chars_per_sec"),
       col("max_repeat_run"), col("symbol_frac"), col("scrub_hits"),
       col("token_scores"), col("quality_score"))

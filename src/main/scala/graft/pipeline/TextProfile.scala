@@ -281,4 +281,109 @@ object TextProfile {
         .when(h < lit(cut(testFrac + valFrac)), "val")
         .otherwise("train"))
   }
+
+  /** CCNet-style per-stratum quality bucketing (Wenzek et al. 2020 §4.3:
+    * each language's corpus is split into head/middle/tail by model score):
+    * assigns each doc an integer bucket 0..nBuckets−1 by its score's EXACT
+    * rank position within its stratum — bucket = floor(nBuckets·|{score' <
+    * score}| / n_stratum), so every doc sharing a score value lands in the
+    * same bucket (no id tie-break needed) and the assignment is an exact
+    * integer formula a second engine reproduces bit-identically.
+    *
+    * Scale shape: deliberately NOT `ntile()`/`row_number()` over the
+    * stratum — a per-stratum window puts an entire language's corpus in
+    * ONE task. Instead: per-(stratum, score) exact counts (one map-side-
+    * combined corpus aggregate), a cumulative window over that
+    * aggregate table (distinct-score-sized, not corpus-sized), and an
+    * AQE-sized equi-join back. Round/discretize the score upstream so the
+    * distinct-score table stays bounded. */
+  def rankBuckets(docs: DataFrame, stratumCol: String, score: Column,
+                  nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.withColumn("score", score)
+    val hist = scored.groupBy(col(stratumCol), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(stratumCol).orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(stratumCol)
+    val buckets = hist
+      .withColumn("cum_lt", sum("cnt").over(w) - col("cnt"))
+      .withColumn("n_stratum", sum("cnt").over(all))
+      .withColumn("bucket",
+        floor(lit(nBuckets) * col("cum_lt") / col("n_stratum")).cast("int"))
+      .select(col(stratumCol), col("score"), col("bucket"))
+    scored.join(buckets, Seq(stratumCol, "score"))
+  }
+
+  /** One learned BPE merge per round: (round, lhs, rhs, merged, n). */
+  final case class BpeMerge(round: Int, lhs: String, rhs: String,
+                            merged: String, n: Long)
+
+  /** Distributed BPE merge training (Sennrich et al. 2016 §3.2, the
+    * byte-pair-encoding vocabulary induction every subword tokenizer
+    * trains with): starting from the corpus word-frequency table with each
+    * word split into characters, repeatedly merge the most frequent
+    * adjacent symbol pair. Deterministic by construction — pair counts are
+    * exact integer sums and ties break on (lhs, rhs) lexicographically —
+    * so a second engine replays every round bit-identically (the DuckDB
+    * oracle re-derives ALL rounds from the raw text, like the k-means
+    * oracle replays both Lloyd rounds).
+    *
+    * Scale shape: ONE pass over the corpus builds the vocab-sized
+    * (word, cnt) table (explode + map-side-combined count — the only
+    * corpus-sized shuffle); each round is then one vocab-sized map-side-
+    * combined pair-count aggregate, a 1-row `limit(1).collect()` (the
+    * argmax pair), and a narrow literal `replace` — document text never
+    * participates after the first pass. Words are symbol lists encoded as
+    * a space-joined string with sentinel spaces (" a b c "), so the merge
+    * is a literal string replace of " lhs rhs " → " lhsrhs "; both Spark
+    * and DuckDB scan left-to-right continuing after each replacement,
+    * which IS greedy left-to-right BPE merging (" a a a " → " aa a ").
+    * The per-round frame is persisted and the previous round freed, so
+    * lineage stays one round deep. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var cur = wc.withColumn("toks",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+      .select("cnt", "toks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val toksArr = split(trim(col("toks")), " ")
+      val best = cur
+        .filter(size(toksArr) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(toksArr) - 2),
+          i => struct(element_at(toksArr, i + 1).as("lhs"),
+            element_at(toksArr, i + 2).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, rr, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += BpeMerge(r, l, rr, l + rr, n)
+        val next = cur.withColumn("toks",
+            replace(col("toks"), lit(s" $l $rr "), lit(s" $l$rr ")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before freeing the parent
+        cur.unpersist(false)
+        cur = next
+      }
+      r += 1
+    }
+    cur.unpersist(false)
+    spark.createDataset(merges.toSeq).toDF()
+      .select(col("round"), col("lhs"), col("rhs"), col("merged"), col("n"))
+  }
 }

@@ -220,7 +220,7 @@ object Heuristics {
     val nAll = pcm.length
     if (nAll == 0)
       return AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0,
-        0.0, 0.0, 0.0, 0.0, Nil)
+        0.0, 0.0, 0.0, 0.0, 0.0, Nil)
 
     // ---- pass 1: frame energies on the full grid (drives trim + masks) ----
     val frameLen = math.max(1, srHz * cfg.frameMs / 1000)
@@ -362,6 +362,7 @@ object Heuristics {
       dyn_range_long_db = dynLong,
       band_contrast_db = bandContrast,
       dc_offset = dcOffset,
+      hum_frac = spectralHumFrac(pcm, from, until, srHz),
       segment_ms = segMs
     )
   }
@@ -371,5 +372,118 @@ object Heuristics {
     if (durMs <= 0 || srHz <= 0) return 1.0
     val actualMs = nSamples * 1000.0 / srHz
     math.abs(actualMs - durMs) / durMs
+  }
+
+  // ---- spectral hum detection (H7) ----------------------------------------
+
+  /** Spectral frame length for [[spectralHumFrac]] (samples). 1024 at the
+    * 8 kHz reference grid = 128 ms frames, 7.8 Hz bins — fine enough to
+    * separate 50/60 Hz mains hum from the ≥ 100 Hz speech band. */
+  val HumFrameLen = 1024
+
+  /** Hum band ceiling (Hz): spectral power at or below this frequency counts
+    * as hum. 75 Hz keeps a ≥ 3-bin guard band below the speech fundamental
+    * range so Hann-window leakage from voiced speech stays at sidelobe level
+    * (−31 dB), not mainlobe level. */
+  val HumMaxHz = 75.0
+
+  private val hannWin: Array[Double] =
+    Array.tabulate(HumFrameLen)(i =>
+      0.5 - 0.5 * math.cos(2.0 * math.Pi * i / HumFrameLen))
+
+  /** In-place iterative radix-2 complex FFT (length must be a power of 2).
+    * Textbook Cooley-Tukey: bit-reversal permutation, then butterflies with
+    * per-stage recurrence twiddles. The independent test oracle never calls
+    * this — it verifies via direct DFT sums + Parseval instead. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      val half = len >> 1
+      var s = 0
+      while (s < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < half) {
+          val ur = re(s + k); val ui = im(s + k)
+          val xr = re(s + k + half); val xi = im(s + k + half)
+          val vr = xr * cr - xi * ci
+          val vi = xr * ci + xi * cr
+          re(s + k) = ur + vr; im(s + k) = ui + vi
+          re(s + k + half) = ur - vr; im(s + k + half) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** H7 — fraction of spectral power in the mains-hum band (≤ [[HumMaxHz]],
+    * DC excluded), the 1-D analog of the reference's periodic-artifact /
+    * line-pattern removal (`image_processing.py:817-871` detects and erases
+    * ruled-line interference; here the interference is 50/60 Hz electrical
+    * hum riding under the speech band).
+    *
+    * Spec (shared with the independent test oracle, which recomputes it via
+    * direct DFT sums + Parseval rather than an FFT):
+    * consecutive non-overlapping [[HumFrameLen]]-sample frames fully inside
+    * `[from, until)`; each frame is periodic-Hann windowed; per frame the
+    * power spectrum `P(k) = |X(k)|²` contributes `P(1..kMax)` to the hum
+    * accumulator and `P(1..N/2−1)` (half spectrum, DC and Nyquist excluded)
+    * to the total, where `kMax = floor(HumMaxHz·N/srHz)`. Returns hum/total
+    * over all frames; 0 when no complete frame fits, the band is
+    * unresolvable (`kMax < 1`), or total power is 0.
+    */
+  def spectralHumFrac(pcm: Array[Float], from: Int, until: Int, srHz: Int): Double = {
+    val n = HumFrameLen
+    if (srHz <= 0) return 0.0
+    val kMax = math.floor(HumMaxHz * n / srHz).toInt
+    if (kMax < 1) return 0.0
+    val nFrames = (until - from) / n
+    if (nFrames <= 0) return 0.0
+    var hum = 0.0
+    var tot = 0.0
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var f = 0
+    while (f < nFrames) {
+      val base = from + f * n
+      var i = 0
+      while (i < n) {
+        re(i) = pcm(base + i).toDouble * hannWin(i)
+        im(i) = 0.0
+        i += 1
+      }
+      fft(re, im)
+      var k = 1
+      while (k < n / 2) {
+        val p = re(k) * re(k) + im(k) * im(k)
+        tot += p
+        if (k <= kMax) hum += p
+        k += 1
+      }
+      f += 1
+    }
+    if (tot <= 0.0) 0.0 else hum / tot
   }
 }

@@ -568,6 +568,45 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSet == Set(("x y", 6L, want), ("x z", 6L, want)))
   }
 
+  test("rankBuckets: exact tertile cutoffs; ties share a bucket; per-stratum") {
+    val df = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("x", 4.0), ("x", 5.0),
+      ("x", 6.0), ("y", 1.0), ("y", 1.0), ("y", 1.0), ("y", 1.0), ("y", 5.0),
+      ("y", 6.0)).toDF("lang", "sc")
+    val out = graft.pipeline.TextProfile.rankBuckets(df, "lang", col("sc"), 3)
+      .groupBy("lang", "score", "bucket").count().collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), (r.getInt(2), r.getLong(3))))
+      .toMap
+    // x: even spread → clean tertiles
+    assert(out(("x", 1.0)) == ((0, 1L)) && out(("x", 2.0)) == ((0, 1L)))
+    assert(out(("x", 3.0)) == ((1, 1L)) && out(("x", 4.0)) == ((1, 1L)))
+    assert(out(("x", 5.0)) == ((2, 1L)) && out(("x", 6.0)) == ((2, 1L)))
+    // y: the 4-way tie at 1.0 all lands in bucket 0 (cum_lt = 0), the rest
+    // start at their exact rank → bucket 2
+    assert(out(("y", 1.0)) == ((0, 4L)))
+    assert(out(("y", 5.0)) == ((2, 1L)) && out(("y", 6.0)) == ((2, 1L)))
+  }
+
+  test("bpeMerges: closed-form merge sequence with greedy overlap and tie-break") {
+    // words: "aaab" ×2, "ab" ×1. Round 1: (a,a) appears twice inside each
+    // "aaab" → 4 beats (a,b)=3; greedy left-to-right turns " a a a b " into
+    // " aa a b " (NOT " a aa b "). Round 2: (a,b)=3 beats (aa,a)=2.
+    // Round 3: (aa,ab)=2 completes "aaab".
+    val docs = Seq("aaab ab", "aaab").map(Tuple1(_)).toDF("text")
+    val out = graft.pipeline.TextProfile.bpeMerges(docs, "text", rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)), out.toSeq.toString)
+    // tie-break: (a,b) and (c,d) both count 2 → lexicographically smaller
+    // (lhs, rhs) wins
+    val tie = Seq("ab cd", "ab cd").map(Tuple1(_)).toDF("text")
+    val first = graft.pipeline.TextProfile.bpeMerges(tie, "text", rounds = 1)
+      .collect().head
+    assert((first.getString(1), first.getString(2)) == ("a", "b"))
+  }
+
   test("kmeans: k larger than the corpus fails loudly, not silently") {
     val tiny = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 4f)))
       .toDF("vec_id", "embedding")

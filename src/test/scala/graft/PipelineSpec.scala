@@ -279,6 +279,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.segment_ms.length == f.n_segments)
   }
 
+  test("H7 hum: FFT engine agrees with the Parseval/direct-DFT oracle; planted tones detected") {
+    import graft.rules.Heuristics
+    // pure 60 Hz tone at the 8 kHz grid: nearly all power in the hum band
+    val tone = Array.tabulate(8192)(i => (0.3 * math.sin(2 * math.Pi * 60 * i / 8000.0)).toFloat)
+    val eT = Heuristics.spectralHumFrac(tone, 0, tone.length, 8000)
+    val oT = Oracle.humFrac(tone, 8000)
+    assert(eT > 0.95, s"60 Hz tone hum_frac $eT")
+    assert(math.abs(eT - oT) < 1e-9, s"engine $eT vs oracle $oT")
+    // white noise: hum band holds ~kMax/511 of the power
+    val rng = new graft.fixture.Prng(11)
+    val noise = Array.fill(8192)((0.3 * rng.nextGaussian()).toFloat)
+    val eN = Heuristics.spectralHumFrac(noise, 0, noise.length, 8000)
+    assert(eN < 0.05, s"noise hum_frac $eN")
+    assert(math.abs(eN - Oracle.humFrac(noise, 8000)) < 1e-9)
+    // speech band (≥ 100 Hz) leaks only sidelobe-level power into the band
+    val speech = Array.tabulate(8192) { i =>
+      val t = i / 8000.0
+      (0.3 * (math.sin(2 * math.Pi * 150 * t) + 0.5 * math.sin(2 * math.Pi * 700 * t))).toFloat
+    }
+    val eS = Heuristics.spectralHumFrac(speech, 0, speech.length, 8000)
+    assert(eS < 0.01, s"speech hum_frac $eS")
+    // offset range: [from, until) restricts the frames analyzed
+    val mixed = tone ++ noise
+    val eTail = Heuristics.spectralHumFrac(mixed, tone.length, mixed.length, 8000)
+    assert(math.abs(eTail - eN) < 1e-12, "range-restricted analysis must match")
+    // sub-frame input yields 0 (no complete 1024-sample frame)
+    assert(Heuristics.spectralHumFrac(tone.take(1000), 0, 1000, 8000) == 0.0)
+  }
+
+  test("H7 hum: fixture hum rows drop as mains_hum; with the rule disabled they keep") {
+    val humRows = rows.indices
+      .filter(i => ClipGen.plantedDefect(i, params) == ClipGen.Defect.Hum)
+      .map(rows(_))
+    assert(humRows.nonEmpty, "fixture must contain hum rows")
+    humRows.foreach { r =>
+      val (keep, reasons, _) = engineById(r.clip_id)
+      assert(!keep && reasons == Set("mains_hum"),
+        s"${r.clip_id} keep=$keep reasons=$reasons")
+    }
+    // the hum is planted UNDER normal speech: with H7 off nothing else fires
+    val noHum = cfg.copy(maxHumFrac = 1.0)
+    humRows.foreach { r =>
+      val e = Oracle.expected(r, noHum, TextModel.default)
+      assert(e.keep, s"${r.clip_id} should keep with H7 disabled, got ${e.reasons}")
+    }
+  }
+
   test("pipeline output row count and lineage counters are consistent") {
     val spark = SparkTestBase.spark
     import spark.implicits._

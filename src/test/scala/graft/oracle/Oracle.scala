@@ -139,11 +139,46 @@ object Oracle {
   }
 
   final case class AFeat(nSamples: Int, silenceFrac: Double, clipFrac: Double,
-                         dynRangeDb: Double)
+                         dynRangeDb: Double, humFrac: Double)
+
+  /** Independent H7 hum fraction to the documented spec — computed WITHOUT
+    * an FFT: per 1024-sample periodic-Hann frame, the hum-band bins
+    * (1..kMax, kMax = floor(75·1024/srHz)) come from direct DFT sums, and
+    * the half-spectrum total Σ_{k=1..511} P(k) comes from Parseval
+    * (Σ_k|X(k)|² = N·Σ|x·w|²) minus the directly-summed DC and Nyquist
+    * bins, halved (real input ⇒ P(k) = P(N−k)). */
+  def humFrac(pcm: Array[Float], srHz: Int): Double = {
+    val n = 1024
+    if (srHz <= 0) return 0.0
+    val kMax = math.floor(75.0 * n / srHz).toInt
+    if (kMax < 1) return 0.0
+    val nFrames = pcm.length / n
+    if (nFrames == 0) return 0.0
+    var hum = 0.0
+    var tot = 0.0
+    for (f <- 0 until nFrames) {
+      val w = Array.tabulate(n)(i =>
+        pcm(f * n + i).toDouble * (0.5 - 0.5 * math.cos(2.0 * math.Pi * i / n)))
+      val energy = w.map(x => x * x).sum
+      def bin(k: Int): Double = {
+        var re = 0.0; var im = 0.0
+        for (i <- 0 until n) {
+          val a = -2.0 * math.Pi * k * i / n
+          re += w(i) * math.cos(a); im += w(i) * math.sin(a)
+        }
+        re * re + im * im
+      }
+      val p0 = { val s = w.sum; s * s }
+      val pNyq = { var s = 0.0; for (i <- 0 until n) s += (if (i % 2 == 0) w(i) else -w(i)); s * s }
+      tot += (n * energy - p0 - pNyq) / 2.0
+      for (k <- 1 to kMax) hum += bin(k)
+    }
+    if (tot <= 0.0) 0.0 else hum / tot
+  }
 
   def audioFeatures(pcm: Array[Float], srHz: Int, cfg: FilterConfig): AFeat = {
     val n = pcm.length
-    if (n == 0) return AFeat(0, 1.0, 0.0, 0.0)
+    if (n == 0) return AFeat(0, 1.0, 0.0, 0.0, 0.0)
     val clip = pcm.count(s => math.abs(s.toDouble) >= 0.97).toDouble / n
     val flen = math.max(1, srHz * cfg.frameMs / 1000)
     val nf = math.max(1, n / flen)
@@ -155,7 +190,7 @@ object Oracle {
     val silence = fdb.count(_ < cfg.silenceFloorDb).toDouble / nf
     val sorted = fdb.sorted
     def pct(q: Double) = sorted(math.floor(q * (sorted.length - 1)).toInt)
-    AFeat(n, silence, clip, pct(0.95) - pct(0.05))
+    AFeat(n, silence, clip, pct(0.95) - pct(0.05), humFrac(pcm, srHz))
   }
 
   // ---- independent decision cascade ---------------------------------------
@@ -222,6 +257,7 @@ object Oracle {
       if (f.silenceFrac > cfg.maxSilenceFrac) reasons += "silence"
       if (f.clipFrac > cfg.maxClipFrac) reasons += "clipping"
       if (f.dynRangeDb < cfg.minDynRangeDb) reasons += "flat_dyn_range"
+      if (f.humFrac > cfg.maxHumFrac) reasons += "mains_hum"
     }
 
     val rs = reasons.result()
