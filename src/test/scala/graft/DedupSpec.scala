@@ -980,6 +980,29 @@ class DedupSpec extends AnyFunSuite {
     assert(oracleScore < 0.5, s"junk must score low, oracle says $oracleScore")
   }
 
+  test("CurateJob: --ccnet drops each stratum's tail tertile by noise score") {
+    // 6 docs per language with strictly increasing punct counts (0..5
+    // commas on a punct-free base): tertiles are 0,0,1,1,2,2 → the two
+    // noisiest docs per stratum are the tail and must drop; every doc
+    // passes the heuristic gate first (ratios stay ≤ 0.1)
+    val base = "clean filler words that make this document long enough to " +
+      "pass the minimum length quality gate easily"
+    val rows =
+      (1L to 6L).map(i => (i, base + " english" + ("," * (i - 1).toInt), "en")) ++
+      (11L to 16L).map(i => (i, base + " french" + ("," * (i - 11).toInt), "fr"))
+    val in = java.nio.file.Files.createTempDirectory("graft_cj3_in").toString
+    rows.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_cj3_out").toString
+    val m = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out,
+        ccnet = true, stratum = Some("lang"), fullKeepLen = 10))
+    assert(m("after_quality") == 12, s"all docs pass the gate: $m")
+    assert(m("after_ccnet") == 8 && m("kept") == 8, s"got $m")
+    val kept = spark.read.parquet(s"$out/kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L), s"got $kept")
+  }
+
   test("DedupJob --cluster writes components + keepers for a near-dup mode") {
     val in = java.nio.file.Files.createTempDirectory("graft_djc_in").toString
     docs().write.mode("overwrite").parquet(in)

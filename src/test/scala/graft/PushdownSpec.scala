@@ -69,6 +69,56 @@ class PushdownSpec extends AnyFunSuite {
       "unreferenced column must not be decoded")
   }
 
+  test("rankBuckets never sorts the corpus — the window runs over the aggregate") {
+    // the CCNet bucketing must plan its cumulative window ABOVE the
+    // per-(stratum, score) aggregate: the only sort in the plan is over the
+    // distinct-score table, and no corpus-sized exchange carries `text`
+    val df = graft.pipeline.TextProfile.rankBuckets(
+        spark.read.parquet(dir), "shard", col("doc_id") % 10, nBuckets = 3)
+      .select("doc_id", "shard", "bucket")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // every Window sits above a HashAggregate (cumulative over the
+    // aggregate), so Sort operators only ever see (stratum, score, cnt)
+    // rows — assert no Sort/Window node lists the text column
+    val badNode = plan.linesIterator.find(l =>
+      (l.contains("Sort ") || l.contains("Window ")) && l.contains("text"))
+    assert(badNode.isEmpty, s"corpus-row sort/window detected: $badNode")
+    assert(plan.contains("Window"), "the cumulative window must exist")
+  }
+
+  test("bpeMerges ships only (pair, count) rows through its per-round shuffle") {
+    // corpus text participates exactly once (the word-count pass); every
+    // later exchange carries symbol pairs + counts, never words or toks
+    val docs = spark.read.parquet(dir)
+    val wc = docs
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+      .select("cnt", "toks")
+    val toksArr = split(trim(col("toks")), " ")
+    val pairCounts = wc
+      .filter(size(toksArr) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(0), size(toksArr) - 2),
+        i => struct(element_at(toksArr, i + 1).as("lhs"),
+          element_at(toksArr, i + 2).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("cnt").as("n"))
+    pairCounts.collect()
+    val plan = pairCounts.queryExecution.executedPlan.toString
+    // the word-count groupBy is the one legitimate vocab shuffle (short
+    // word strings + partial counts); the symbol-list representation must
+    // never cross an exchange in any round
+    val badExchange = plan.linesIterator.find(l =>
+      l.contains("Exchange") && l.contains("toks"))
+    assert(badExchange.isEmpty, s"toks crossed an exchange: $badExchange")
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"pair counts must map-side combine before the shuffle:\n$plan")
+  }
+
   test("dedup signature queries prune the documents scan to (id, text)") {
     // the near-dup pipeline touches only two columns of a (possibly wide)
     // documents table — the scan must reflect that
