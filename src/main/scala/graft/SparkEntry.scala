@@ -663,7 +663,8 @@ object SparkEntry {
       val pairs = graft.pipeline.Dedup.nearDupPairs(deduped, "id", "sc",
         shingleK = 5, numHashes = 80, rowsPerBand = 5, minJaccard = 0.5,
         maxBucket = 1024).select("id_a", "id_b")
-      val nonKeepers = graft.pipeline.Dedup.components(pairs)
+      val nonKeepers = graft.pipeline.Dedup
+        .components(pairs, smallGraphLimit = 2000000L)
         .filter(col("id") =!= col("comp")).select("id")
       val kept1 = deduped.join(nonKeepers, Seq("id"), "left_anti")
       val cleaned = graft.pipeline.Spans.removeDups(

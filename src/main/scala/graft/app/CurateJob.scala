@@ -68,7 +68,8 @@ object CurateJob {
       quality: String = "heuristic", minQuality: Double = 0.5,
       minLen: Int = 50, maxPunctRatio: Double = 0.1, fullKeepLen: Int = 400,
       ccnet: Boolean = false, stratum: Option[String] = None,
-      nBuckets: Int = 3, keepBuckets: Int = 2)
+      nBuckets: Int = 3, keepBuckets: Int = 2,
+      smallGraphLimit: Long = 2000000L)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val docs = spark.read.parquet(a.input)
@@ -101,7 +102,11 @@ object CurateJob {
         // text never re-shuffles for this stage.
         val pairs = Dedup.nearDupPairs(cur, "id", "sc",
           minJaccard = a.minJaccard, maxBucket = 1024).select("id_a", "id_b")
-        val nonKeepers = Dedup.components(pairs)
+        // adaptive: small pair sets union-find on the driver (identical
+        // output, none of the per-round contraction overhead); above the
+        // limit the distributed star contraction runs
+        val nonKeepers = Dedup.components(pairs,
+            smallGraphLimit = a.smallGraphLimit)
           .filter(col("id") =!= col("comp")).select("id")
         cur = cur.join(nonKeepers, Seq("id"), "left_anti")
         cur.count()
@@ -200,7 +205,8 @@ object CurateJob {
       ccnet = m.getOrElse("ccnet", "false").toBoolean,
       stratum = m.get("stratum"),
       nBuckets = m.getOrElse("nBuckets", "3").toInt,
-      keepBuckets = m.getOrElse("keepBuckets", "2").toInt)
+      keepBuckets = m.getOrElse("keepBuckets", "2").toInt,
+      smallGraphLimit = m.getOrElse("smallGraph", "2000000").toLong)
 
     val builder = SparkSession.builder().appName("graft-curate")
       .config("spark.sql.adaptive.enabled", "true")

@@ -497,9 +497,21 @@ object Dedup {
     *
     * Returns (id, comp) for every id appearing in `pairs` — including ids
     * seen only in self-pairs, which label themselves — with comp = the
-    * minimum id of its cluster; deterministic. */
+    * minimum id of its cluster; deterministic.
+    *
+    * `smallGraphLimit > 0` enables an adaptive fast path (the AQE-style
+    * size-based plan switch): when the distinct pair count is at or under
+    * the limit, the edges are collected and union-found on the driver
+    * (smaller id always becomes the root, so each root IS its set's
+    * minimum — bit-identical output to the distributed fixpoint, asserted
+    * in DedupSpec) instead of paying several fixed-overhead contraction
+    * rounds. 2M pairs ≈ 32 MB on the driver. Default 0 = always
+    * distributed; the headline `q_docs_components` bench keeps the
+    * distributed path so its number prices the star contraction, while
+    * composed funnels (CurateJob, q_docs_curate_full) opt in. */
   def components(pairs: DataFrame, maxRounds: Int = 50,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 smallGraphLimit: Long = 0L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -572,6 +584,35 @@ object Dedup {
     val chk0 = checkpointFrame(
       pairs.select(longId(col("id_a")).as("u"), longId(col("id_b")).as("v"))
         .distinct())
+
+    if (smallGraphLimit > 0 && chk0.count() <= smallGraphLimit) {
+      // driver union-find with min-id roots: union always attaches the
+      // larger root under the smaller, so find(x) is the set minimum —
+      // the same (id, min-of-cluster) contract as the fixpoint star
+      val es = chk0.collect()
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val labels = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+      freeCheckpoint(chk0)
+      return spark.createDataset(labels).toDF("id", "comp")
+    }
+
     var edges = chk0.filter(col("u") =!= col("v"))
     var (prevCnt, prevSum) = checksum(edges)
     var round = 0

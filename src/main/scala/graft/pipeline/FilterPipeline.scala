@@ -34,6 +34,10 @@ final case class FeatureRow(
     band_contrast_db: Double,
     dc_offset: Double,
     hum_frac: Double,
+    // 64-bit acoustic fingerprint of the analysis-grid waveform (gain/
+    // codec/length-invariant; Heuristics.audioFingerprint) — feeds batch
+    // AND streaming audio near-dup; 0 when undecodable
+    audio_fp: Long,
     segment_ms: Seq[Double],
     dur_mismatch: Double,
     lang: String,
@@ -86,7 +90,7 @@ object FilterPipeline {
       it.map { clip =>
         counters.foreach(_.rows.add(1))
         val decoded = Codecs.decode(clip.codec, clip.bytes)
-        val (ok, err, af, mismatch) = decoded match {
+        val (ok, err, af, mismatch, afp) = decoded match {
           case Right(pcm) =>
             // S10 analog: optionally bound feature extraction to a prefix;
             // H4 metadata sanity always sees the true decoded length
@@ -108,12 +112,14 @@ object FilterPipeline {
             val f0 = Heuristics.audioFeatures(ana, anaHz, cfg,
               trim = cfg.trimSilence)
             val f = f0.copy(n_samples = pcm.length)
-            (true, "", f, Heuristics.durMismatch(pcm.length, clip.sr_hz, clip.dur_ms))
+            (true, "", f,
+              Heuristics.durMismatch(pcm.length, clip.sr_hz, clip.dur_ms),
+              Heuristics.audioFingerprint(ana))
           case Left(reason) =>
             counters.foreach(_.decodeErrors.add(1))
             (false, reason,
               AudioFeatures(0, -180.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0,
-                0.0, 0.0, 0.0, 0.0, 0.0, Nil), 0.0)
+                0.0, 0.0, 0.0, 0.0, 0.0, Nil), 0.0, 0L)
         }
 
         val t = clip.transcript
@@ -156,6 +162,7 @@ object FilterPipeline {
           band_contrast_db = af.band_contrast_db,
           dc_offset = af.dc_offset,
           hum_frac = af.hum_frac,
+          audio_fp = afp,
           segment_ms = af.segment_ms,
           dur_mismatch = mismatch,
           lang = lang, lang_conf = conf, ppl_char = pplC, ppl_word = pplW,
@@ -345,7 +352,7 @@ object FilterPipeline {
       col("speech_ms"), col("n_segments"),
       col("dyn_range_mid_db"), col("dyn_range_long_db"),
       col("band_contrast_db"), col("dc_offset"), col("hum_frac"),
-      col("segment_ms"),
+      col("audio_fp"), col("segment_ms"),
       col("chars_per_sec"),
       col("max_repeat_run"), col("symbol_frac"), col("scrub_hits"),
       col("token_scores"), col("quality_score"))

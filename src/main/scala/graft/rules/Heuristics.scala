@@ -387,6 +387,14 @@ object Heuristics {
     * (−31 dB), not mainlobe level. */
   val HumMaxHz = 75.0
 
+  /** Frame budget for [[spectralHumFrac]]: mains hum is stationary, so a
+    * bounded, evenly-strided sample of frames measures it as well as every
+    * frame — and caps the FFT cost per clip at O(HumMaxFrames·N·log N)
+    * regardless of duration (an uncapped scan added ~50% to the whole
+    * decode+score stage on 6.5 s-average clips). 8 frames ≈ 1 s of audio;
+    * the decision margin is ≥ 10x, far above the sampling noise. */
+  val HumMaxFrames = 8
+
   private val hannWin: Array[Double] =
     Array.tabulate(HumFrameLen)(i =>
       0.5 - 0.5 * math.cos(2.0 * math.Pi * i / HumFrameLen))
@@ -446,13 +454,16 @@ object Heuristics {
     *
     * Spec (shared with the independent test oracle, which recomputes it via
     * direct DFT sums + Parseval rather than an FFT):
-    * consecutive non-overlapping [[HumFrameLen]]-sample frames fully inside
-    * `[from, until)`; each frame is periodic-Hann windowed; per frame the
-    * power spectrum `P(k) = |X(k)|²` contributes `P(1..kMax)` to the hum
-    * accumulator and `P(1..N/2−1)` (half spectrum, DC and Nyquist excluded)
-    * to the total, where `kMax = floor(HumMaxHz·N/srHz)`. Returns hum/total
-    * over all frames; 0 when no complete frame fits, the band is
-    * unresolvable (`kMax < 1`), or total power is 0.
+    * non-overlapping [[HumFrameLen]]-sample frames fully inside
+    * `[from, until)`, sampled at an even stride
+    * `max(1, nFrames / HumMaxFrames)` starting at frame 0 and capped at
+    * [[HumMaxFrames]] frames; each analyzed frame is periodic-Hann
+    * windowed; per frame the power spectrum `P(k) = |X(k)|²` contributes
+    * `P(1..kMax)` to the hum accumulator and `P(1..N/2−1)` (half spectrum,
+    * DC and Nyquist excluded) to the total, where
+    * `kMax = floor(HumMaxHz·N/srHz)`. Returns hum/total over the analyzed
+    * frames; 0 when no complete frame fits, the band is unresolvable
+    * (`kMax < 1`), or total power is 0.
     */
   def spectralHumFrac(pcm: Array[Float], from: Int, until: Int, srHz: Int): Double = {
     val n = HumFrameLen
@@ -461,12 +472,14 @@ object Heuristics {
     if (kMax < 1) return 0.0
     val nFrames = (until - from) / n
     if (nFrames <= 0) return 0.0
+    val stride = math.max(1, nFrames / HumMaxFrames)
     var hum = 0.0
     var tot = 0.0
     val re = new Array[Double](n)
     val im = new Array[Double](n)
     var f = 0
-    while (f < nFrames) {
+    var analyzed = 0
+    while (f < nFrames && analyzed < HumMaxFrames) {
       val base = from + f * n
       var i = 0
       while (i < n) {
@@ -482,7 +495,8 @@ object Heuristics {
         if (k <= kMax) hum += p
         k += 1
       }
-      f += 1
+      f += stride
+      analyzed += 1
     }
     if (tot <= 0.0) 0.0 else hum / tot
   }

@@ -40,7 +40,8 @@ object StreamingFilter {
       FilterPipeline.features(clips, cfg, model).toDF(), cfg)
     d.select(col("clip_id"), col("keep"), col("drop_reasons"),
       col("scrubbed_transcript"), col("lang"), col("lang_conf"),
-      col("ppl_char"), col("ppl_word"), col("codec"))
+      col("ppl_char"), col("ppl_word"), col("codec"),
+      col("n_samples"), col("audio_fp"))
   }
 
   /** Streaming exact dedup: first-seen transcript wins inside the watermark
@@ -120,6 +121,50 @@ object StreamingFilter {
         .dropDuplicatesWithinWatermark(s"band_$b")
     }
     d.drop((0 until numBands).map(b => s"band_$b") ++ Seq("sh", "arrival_ts"): _*)
+  }
+
+  /** Streaming AUDIO near-dup sketch: the acoustic-fingerprint analog of
+    * [[dedupNearBySimhash]] — re-uploads/re-encodes/gain changes of a
+    * recently-retained recording are suppressed inside the watermark
+    * horizon. Requires the `n_samples` and `audio_fp` columns the
+    * [[decisions]] frame carries (`Heuristics.audioFingerprint` of the
+    * analysis-grid waveform).
+    *
+    * The batch path (`clips_audio_neardup`) gates candidates on ±2%
+    * duration; a streaming state key cannot express a range predicate, so
+    * the gate becomes a QUANTIZED log-duration bucket
+    * (`floor(ln n / ln(1+durTolerance))`, default 4% buckets) folded into
+    * every band key: clips within the tolerance share a bucket unless they
+    * straddle a boundary — a recall approximation on top of the band
+    * sketch, stated here rather than hidden. Same pigeonhole recall as the
+    * SimHash chain otherwise (numBands − 1 Hamming radius vs retained
+    * clips), same partially-registered-dropped-clip caveat. Undecodable
+    * rows (n_samples ≤ 0, fingerprint 0) pass through untouched — they
+    * would otherwise all collide on the zero key. */
+  def dedupNearByAudioFp(decisions: DataFrame,
+                         delay: String = "2 minutes",
+                         numBands: Int = 4,
+                         durTolerance: Double = 0.04): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0, s"bad numBands $numBands")
+    require(durTolerance > 0 && durTolerance < 1, s"bad durTolerance $durTolerance")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val wm = decisions
+      .withColumn("arrival_ts", current_timestamp())
+      .withWatermark("arrival_ts", delay)
+    val passthrough = wm.filter(col("n_samples") <= 0).drop("arrival_ts")
+    var d = wm.filter(col("n_samples") > 0)
+      .withColumn("dur_b",
+        floor(log(col("n_samples").cast("double")) / math.log(1 + durTolerance)))
+    (0 until numBands).foreach { b =>
+      d = d
+        .withColumn(s"aband_$b",
+          shiftrightunsigned(col("audio_fp"), b * width).bitwiseAND(lit(mask)))
+        .dropDuplicatesWithinWatermark(s"aband_$b", "dur_b")
+    }
+    d.drop((0 until numBands).map(b => s"aband_$b") ++
+        Seq("dur_b", "arrival_ts"): _*)
+      .unionByName(passthrough)
   }
 
   /** Continuous keep/drop telemetry: windowed per-language decision counts

@@ -735,6 +735,24 @@ class DedupSpec extends AnyFunSuite {
     assert(k == Map(1L -> 4L, 10L -> 3L, 20L -> 2L), s"got $k")
   }
 
+  test("components: the small-graph driver path matches the distributed fixpoint") {
+    // a messy mix — chain, clique, self-pair-only id, duplicate and
+    // reversed edges — must label identically under both execution paths
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L), (21L, 20L), (30L, 30L),
+      (2L, 1L)).toDF("id_a", "id_b")
+    val dist = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.components(pairs, smallGraphLimit = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, s"fast=$fast dist=$dist")
+    assert(fast(30L) == 30L, "self-pair-only id labels itself on both paths")
+    // a pair count over the limit falls back to the distributed path
+    val big = Dedup.components(pairs, smallGraphLimit = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(big == dist)
+  }
+
   test("components: 500-node chain converges in O(log² n) rounds, not diameter") {
     // a path graph is the adversarial case for label propagation (diameter
     // 499 → the round-3 algorithm needed ~499 rounds and silently gave up

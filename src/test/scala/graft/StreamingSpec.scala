@@ -125,6 +125,10 @@ class StreamingSpec extends AnyFunSuite {
 
     val in = spark.readStream
       .schema("clip_id STRING, scrubbed_transcript STRING")
+      // one file per micro-batch: within a single batch dropDuplicates
+      // keeps an arbitrary row per key, so originals-before-variants must
+      // be enforced by trigger, not hoped from file listing order
+      .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/batch=*")
     val out = StreamingFilter.dedupNearBySimhash(in)
     assert(out.isStreaming)
@@ -144,6 +148,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(!kept.contains("v_punct") && !kept.contains("v_edit") &&
       !kept.contains("c0_exact"),
       s"planted near-dups must be suppressed, got $kept")
+  }
+
+  test("streaming audio near-dup suppresses a re-encoded half-gain copy") {
+    import spark.implicits._
+    import graft.codec.Codecs
+    import graft.rules.Heuristics.audioFingerprint
+    // originals at lengths 8000·1.1^i: consecutive lengths sit ≥ 2
+    // log-duration buckets apart (ln 1.1 / ln 1.04 ≈ 2.4), so distinct
+    // recordings can never be conflated by the duration-bucketed bands
+    // regardless of fingerprint — the fixture's shared envelope shapes
+    // stay apart by construction
+    def synth(seed: Int, n: Int): Array[Float] =
+      Array.tabulate(n) { i =>
+        val env = 0.15 + 0.85 * math.abs(
+          math.sin(2 * math.Pi * i / (400.0 + (seed % 9) * 230.0)) *
+            math.cos(2 * math.Pi * i / (900.0 + (seed % 5) * 170.0)))
+        (env * 0.6 * math.sin(2 * math.Pi * 440 * i / 16000.0)).toFloat
+      }
+    val originals = (0 until 8).map { i =>
+      val p = synth(i + 1, (8000 * math.pow(1.1, i)).toInt)
+      (s"a$i", p.length, audioFingerprint(p), p)
+    }
+    // µ-law re-encode at half gain: same length, small fingerprint distance
+    val p0 = originals(0)._4
+    val shorts = p0.map(x => (math.max(-1f, math.min(1f, x * 0.5f)) * 32767f).toShort)
+    val reenc = Codecs.decodeUlaw(Codecs.encodeUlaw(shorts))
+    val vFp = audioFingerprint(reenc)
+    val ham = java.lang.Long.bitCount(originals(0)._3 ^ vFp)
+    assert(ham <= 3, s"precondition: re-encode within the pigeonhole radius, got $ham")
+
+    val dir = Files.createTempDirectory("graft-stream-afp").toString
+    originals.map { case (id, n, fp, _) => (id, n, fp) }
+      .toDF("clip_id", "n_samples", "audio_fp")
+      .coalesce(1).write.parquet(s"$dir/batch=0")
+    Seq(("v_reenc", reenc.length, vFp),            // near-dup of a0 → dropped
+        ("a3_copy", originals(3)._2, originals(3)._3), // exact copy → dropped
+        ("bad1", 0, 0L), ("bad2", 0, 0L))          // undecodable → pass through
+      .toDF("clip_id", "n_samples", "audio_fp")
+      .coalesce(1).write.parquet(s"$dir/batch=1")
+
+    val in = spark.readStream
+      .schema("clip_id STRING, n_samples INT, audio_fp BIGINT")
+      // one file per micro-batch: the originals' file (earlier mtime) must
+      // register its keys before the variants' file arrives — in a single
+      // batch dropDuplicates keeps an arbitrary row per key
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/batch=*")
+    val out = StreamingFilter.dedupNearByAudioFp(in)
+    assert(out.isStreaming)
+    val q = out.writeStream
+      .format("memory").queryName("stream_audiodup")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-afp-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("stream_audiodup")
+      .select("clip_id").collect().map(_.getString(0)).toSet
+    assert((0 until 8).forall(i => kept.contains(s"a$i")),
+      s"all distinct recordings survive, got $kept")
+    assert(!kept.contains("v_reenc") && !kept.contains("a3_copy"),
+      s"re-encode and exact copy must be suppressed, got $kept")
+    assert(kept.contains("bad1") && kept.contains("bad2"),
+      s"undecodable rows pass through untouched, got $kept")
   }
 
   test("windowed decision counts stream aggregates with a watermark") {

@@ -154,9 +154,13 @@ object Oracle {
     if (kMax < 1) return 0.0
     val nFrames = pcm.length / n
     if (nFrames == 0) return 0.0
+    // same strided frame sample as the documented spec: stride
+    // max(1, nFrames/8) from frame 0, at most 8 frames
+    val stride = math.max(1, nFrames / 8)
+    val frames = (0 until nFrames by stride).take(8)
     var hum = 0.0
     var tot = 0.0
-    for (f <- 0 until nFrames) {
+    for (f <- frames) {
       val w = Array.tabulate(n)(i =>
         pcm(f * n + i).toDouble * (0.5 - 0.5 * math.cos(2.0 * math.Pi * i / n)))
       val energy = w.map(x => x * x).sum
