@@ -603,6 +603,21 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), "text", rounds = 4)
         .orderBy("round")),
 
+    // ---- BPE application: tokens-per-doc under the learned merges --------
+    // the train→apply loop closed: the 4 learned merges ride into a pure
+    // per-row HOF chain (no shuffle) counting each doc's tokens — the
+    // sequence-length/compression table a corpus is budgeted by; the
+    // oracle re-derives the merges AND replays the encode per doc
+    "q_docs_bpe_encode" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val merges = graft.pipeline.TextProfile
+        .bpeMerges(d, "text", rounds = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.pipeline.TextProfile.bpeEncode(d, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // ---- end-to-end curation recipe (the composed pipeline) --------------
     // the standard corpus-curation chain as ONE query, each stage a library
     // op already oracled in isolation: decontaminate against a held-out
@@ -1465,6 +1480,42 @@ object SparkEntry {
          |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
          |      UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4)
          |ORDER BY round""".stripMargin
+    },
+    // BPE application: the same 4-round training CTEs re-derive the merge
+    // list, then each doc's words pass through the identical sentinel-space
+    // replace chain inside a list_transform lambda — token counts must
+    // match the engine's HOF encode exactly
+    "q_docs_bpe_encode" -> {
+      def r(i: Int) =
+        s"""p$i AS (
+           |  SELECT s.lst[i] AS lhs, s.lst[i+1] AS rhs, sum(t.cnt) AS n
+           |  FROM t${i - 1} t,
+           |  LATERAL (SELECT string_split(trim(t.toks), ' ') AS lst) s,
+           |  LATERAL unnest(generate_series(1, len(s.lst) - 1)) AS g(i)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT lhs, rhs, lhs || rhs AS merged
+           |  FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+           |t$i AS (SELECT t.cnt,
+           |  replace(t.toks, ' '||b.lhs||' '||b.rhs||' ', ' '||b.merged||' ') AS toks
+           |  FROM t${i - 1} t, b$i b)""".stripMargin
+      val chain = (1 to 4).foldLeft(
+        "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+        (acc, i) =>
+          s"replace($acc,\n        ' '||b$i.lhs||' '||b$i.rhs||' ', ' '||b$i.merged||' ')"
+      }
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+         |    FROM documents) WHERE word <> '' GROUP BY word),
+         |t0 AS (SELECT cnt,
+         |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS toks FROM wc),
+         |${(1 to 4).map(r).mkString(",\n")}
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_enc,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'), w -> w <> ''),
+         |    w -> len(string_split(trim($chain), ' ')))), 0) AS BIGINT) AS n_tokens
+         |FROM documents d, b1, b2, b3, b4
+         |ORDER BY doc_id""".stripMargin
     },
     // composed curation chain, replayed stage by stage in the same order:
     // NOT EXISTS decontamination → the 5-rule scrub chain → md5 keeper

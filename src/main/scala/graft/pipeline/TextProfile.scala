@@ -386,4 +386,30 @@ object TextProfile {
     spark.createDataset(merges.toSeq).toDF()
       .select(col("round"), col("lhs"), col("rhs"), col("merged"), col("n"))
   }
+
+  /** Apply a learned BPE merge list ([[bpeMerges]] output, in training
+    * order) to every document and count the resulting tokens — the
+    * tokens-per-doc / chars-per-token table that prices a corpus in
+    * tokenizer units (sequence-length budgeting, compression-ratio QA).
+    * Pure codegen'd HOFs per row (split → per-word sentinel-space replace
+    * chain → count): no shuffle, no UDF, no state — the merge list rides
+    * into the plan as literals. Same greedy left-to-right semantics as
+    * training (leftmost-continue literal replace). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      w => w =!= "")
+    def tokCount(w: Column): Column = {
+      var toks: Column =
+        concat(lit(" "), array_join(split(w, ""), " "), lit(" "))
+      merges.foreach { case (l, r) =>
+        toks = replace(toks, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      size(split(trim(toks), " ")).cast("long")
+    }
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_enc"),
+      aggregate(transform(words, w => tokCount(w)), lit(0L),
+        (acc, x) => acc + x).as("n_tokens"))
+  }
 }

@@ -607,6 +607,18 @@ class DedupSpec extends AnyFunSuite {
     assert((first.getString(1), first.getString(2)) == ("a", "b"))
   }
 
+  test("bpeEncode: learned merges tokenize docs greedily; unseen words stay chars") {
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab"), (3L, "xyz"), (4L, ""))
+      .toDF("doc_id", "text")
+    // merges from the bpeMerges closed-form test: aa, ab, then aa+ab
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val out = graft.pipeline.TextProfile.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // "aaab" → " a a a b " → " aa a b " → " aa ab " → " aaab " = 1 token;
+    // "ab" → 1; "xyz" has no applicable merge → 3 chars = 3 tokens
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 0L), out.toString)
+  }
+
   test("kmeans: k larger than the corpus fails loudly, not silently") {
     val tiny = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 4f)))
       .toDF("vec_id", "embedding")
