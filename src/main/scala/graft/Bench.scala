@@ -70,8 +70,10 @@ object Bench {
 
   private def ensureClips(spark: SparkSession, n: Long): String = {
     // 256 files: with 4 resume chunks each chunk scans 64 files → full
-    // waves on 32 cores (a real 10^12-row table has no shortage of files)
-    val dir = s"/tmp/graft_bench/clips_n${n}_s42_f256"
+    // waves on 32 cores (a real 10^12-row table has no shortage of files).
+    // g2 = generator version (bumped with ClipGen changes — the hum defect
+    // class — so a cached pre-change fixture is never silently reused)
+    val dir = s"/tmp/graft_bench/clips_n${n}_s42_f256_g2"
     if (!Files.exists(Paths.get(dir, "_SUCCESS")))
       GenMain.generate(spark, dir, ClipGen.Params(n, seed = 42L), files = 256)
     dir
