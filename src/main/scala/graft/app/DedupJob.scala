@@ -14,7 +14,7 @@ import graft.pipeline.Dedup
   *     [--mode exact|minhash|simhash|fingerprint|containment|spans|semdedup] \
   *     [--id doc_id] [--text text] [--minJaccard 0.5] \
   *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536] \
-  *     [--cluster true] [--checkpointDir <reliable dir>] \
+  *     [--cluster true] [--checkpointDir <reliable dir>] [--smallGraph 2000000] \
   *     [--vec embedding] [--minSim 0.95] [--kClusters 256] \
   *     [--kmeansIters 2] [--maxCluster 4096]
   *
@@ -60,7 +60,8 @@ object DedupJob {
       cluster: Boolean = false, checkpointDir: Option[String] = None,
       spanSep: String = "\\n{2,}", chunkWords: Int = 10,
       vecCol: String = "embedding", minSim: Double = 0.95,
-      kClusters: Int = 256, kmeansIters: Int = 2, maxCluster: Int = 4096)
+      kClusters: Int = 256, kmeansIters: Int = 2, maxCluster: Int = 4096,
+      smallGraphLimit: Long = 2000000L)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val docs = spark.read.parquet(a.input)
@@ -107,7 +108,8 @@ object DedupJob {
       else {
         val p = spark.read.parquet(s"${a.output}/pairs")
         val nc = write(
-          Dedup.components(p, checkpointDir = a.checkpointDir), "components")
+          Dedup.components(p, checkpointDir = a.checkpointDir,
+            smallGraphLimit = a.smallGraphLimit), "components")
         val nk = write(Dedup.keepersFromComponents(
           spark.read.parquet(s"${a.output}/components")), "keepers")
         Map("components" -> nc, "keepers" -> nk)
@@ -178,7 +180,8 @@ object DedupJob {
       minSim = m.getOrElse("minSim", "0.95").toDouble,
       kClusters = m.getOrElse("kClusters", "256").toInt,
       kmeansIters = m.getOrElse("kmeansIters", "2").toInt,
-      maxCluster = m.getOrElse("maxCluster", "4096").toInt)
+      maxCluster = m.getOrElse("maxCluster", "4096").toInt,
+      smallGraphLimit = m.getOrElse("smallGraph", "2000000").toLong)
 
     val builder = SparkSession.builder().appName("graft-dedup")
       .config("spark.sql.adaptive.enabled", "true")
