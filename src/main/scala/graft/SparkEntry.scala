@@ -747,6 +747,41 @@ object SparkEntry {
           col("n_chars").cast(DoubleType) / 400.0)
         .select("doc_id", "n_chars").orderBy("doc_id")),
 
+    // ---- temperature-scaled language mixing (mT5/Pile recipe) ------------
+    // p_l ∝ n_l^0.5 upweights low-resource languages (the corpus's lang
+    // distribution is naturally skewed, en ≈ 2.7× de); materialize ~half
+    // the corpus with per-lang acceptance rates + the content-stable draw
+    "q_docs_mix" -> ((s, dir) =>
+      graft.pipeline.TextProfile.temperatureMix(
+          s.read.parquet(t(dir, "documents")), "doc_id", "lang",
+          tau = 0.5, targetFrac = 0.5)
+        .select(col("doc_id"), col("lang"),
+          round(col("mix_rate"), 6).as("mix_rate"))
+        .orderBy("doc_id")),
+
+    // ---- duplication-aware soft sampling ----------------------------------
+    // keep rate 1/|near-dup cluster| over documents ∪ the planted copies —
+    // each dup cluster contributes ONE expected survivor, chosen by an
+    // unbiased content-stable draw (vs keepersFromComponents' hard election)
+    "q_docs_dup_sample" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val corpus = d.union(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text")))
+      graft.pipeline.TextProfile.dupAwareSample(corpus,
+          graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir)),
+          "doc_id", beta = 1.0)
+        .select("doc_id", "c_size", "samp_rate").orderBy("doc_id")
+    }),
+
+    // ---- in-corpus trigram-LM self-scoring (CCNet loop closed) -----------
+    // add-k char-trigram LM trained on the content-stable train split,
+    // every doc scored with avg negative log-likelihood per trigram
+    "q_docs_lm_score" -> ((s, dir) =>
+      graft.pipeline.TextProfile.lmSelfScore(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text", k = 0.5)
+        .orderBy("doc_id")),
+
     // ---- cross-source duplicate overlap matrix ---------------------------
     // where duplication comes FROM: the verified near-dup pair set joined
     // back to sources, counted per unordered source pair — the "crawl A
@@ -1707,6 +1742,108 @@ object SparkEntry {
         |      lower(lpad(to_hex(CAST(floor(
         |        CAST(n_chars AS DOUBLE) / 400.0 * 4294967296.0) AS BIGINT)), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
+    // temperature mixing replayed end-to-end: per-source counts, weights
+    // n_s^0.5 quantized to DECIMAL(28,12) (order-free exact sum), rate
+    // quantized to 1e-9 before it feeds the md5 cut — every float step
+    // mirrors the Spark expression so the draw is bit-identical
+    "q_docs_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |r AS (SELECT lang, n_s,
+        |  CAST(CAST(pow(CAST(n_s AS DOUBLE), 0.5) AS DECIMAL(28,12)) AS DOUBLE) /
+        |  CAST(sum(CAST(pow(CAST(n_s AS DOUBLE), 0.5) AS DECIMAL(28,12)))
+        |       OVER () AS DOUBLE) AS p,
+        |  CAST(sum(n_s) OVER () AS BIGINT) AS n_tot FROM c),
+        |rr AS (SELECT lang,
+        |  least(CAST(1.0 AS DOUBLE),
+        |        round(p * 0.5 * n_tot / n_s, 9)) AS mix_rate FROM r)
+        |SELECT d.doc_id, d.lang, round(rr.mix_rate, 6) AS mix_rate
+        |FROM documents d JOIN rr ON d.lang = rr.lang
+        |WHERE rr.mix_rate >= 1.0
+        |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |      lower(lpad(to_hex(CAST(floor(
+        |        rr.mix_rate * 4294967296.0) AS BIGINT)), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
+    // dup-aware soft sampling: the q_docs_components pair+closure CTE
+    // extended with cluster sizes and the 1/size md5 draw
+    "q_docs_dup_sample" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component
+        |         FROM reach GROUP BY u),
+        |csize AS (SELECT component, count(*) AS c_size FROM comp GROUP BY 1),
+        |rates AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(cs.c_size, 1) AS BIGINT) AS c_size,
+        |    round(1.0 / pow(CAST(coalesce(cs.c_size, 1) AS DOUBLE), 1.0),
+        |          9) AS samp_rate
+        |  FROM all_docs d
+        |  LEFT JOIN comp ON comp.id = d.doc_id
+        |  LEFT JOIN csize cs ON cs.component = comp.component)
+        |SELECT doc_id, c_size, samp_rate FROM rates
+        |WHERE samp_rate >= 1.0
+        |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      lower(lpad(to_hex(CAST(floor(
+        |        samp_rate * 4294967296.0) AS BIGINT)), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
+    // trigram-LM self-scoring replayed end-to-end: train counts from the
+    // q_docs_split train cut, add-0.5 smoothing over the next-char
+    // alphabet, per-term ln of an exact-integer-derived ratio rounded to
+    // 1e-6 (the q_docs_pmi pattern) and summed as DECIMAL(18,6) so the
+    // per-doc aggregate is order-free and bit-identical across engines
+    "q_docs_lm_score" ->
+      """WITH train AS (
+        |  SELECT text FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '33333333'),
+        |tpos AS (
+        |  SELECT substr(text, CAST(i AS INTEGER), 3) AS g
+        |  FROM (SELECT text, unnest(generate_series(1, len(text) - 2)) AS i
+        |        FROM train WHERE len(text) >= 3)),
+        |c3 AS (SELECT g, count(*) AS c FROM tpos GROUP BY g),
+        |c2 AS (SELECT substr(g, 1, 2) AS pre, CAST(sum(c) AS BIGINT) AS cp
+        |       FROM c3 GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT substr(g, 3, 1)) AS v FROM c3),
+        |dpos AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 2)) AS i
+        |        FROM documents WHERE len(text) >= 3)),
+        |terms AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(
+        |      (CAST(coalesce(c3.c, 0) AS DOUBLE) + 0.5) /
+        |      (CAST(coalesce(c2.cp, 0) AS DOUBLE) + 0.5 * vocab.v)),
+        |      6) AS DECIMAL(18,6)) AS lp
+        |  FROM dpos
+        |  LEFT JOIN c3 ON dpos.g = c3.g
+        |  LEFT JOIN c2 ON substr(dpos.g, 1, 2) = c2.pre
+        |  CROSS JOIN vocab)
+        |SELECT doc_id, count(*) AS n_tri,
+        |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // cross-source overlap: the q_docs_near_dup exact-Jaccard CTE joined
     // back to sources (planted ids inherit source via doc_id % 100000)
     "q_docs_dup_overlap" ->

@@ -19,7 +19,8 @@ import graft.text.Scrubber
   *     [--spans true] [--spanSep '\n{2,}'] \
   *     [--quality heuristic|learned] [--minQuality 0.5] \
   *     [--minLen 50] [--maxPunctRatio 0.1] [--fullKeepLen 400] \
-  *     [--ccnet true] [--stratum lang] [--nBuckets 3] [--keepBuckets 2]
+  *     [--ccnet true] [--stratum lang] [--nBuckets 3] [--keepBuckets 2] \
+  *     [--mixTau 0.5] [--mixFrac 0.5]
   *
   * Stages, in the standard order (the reference's own canonical pipeline is
   * a full chain, not a subset — image_processing.py:51-184):
@@ -48,7 +49,11 @@ import graft.text.Scrubber
   *                       LM-quality proxy); keep the best --keepBuckets of
   *                       --nBuckets (head+middle by default, the standard
   *                       CCNet policy of discarding the tail)
-  *   8. weighted sample— keep probability length/fullKeepLen (md5-decided,
+  *   8. mix            — (--mixTau > 0) temperature-scaled stratum mixing:
+  *                       p_s ∝ n_s^tau acceptance rates over --stratum
+  *                       (mT5-style low-resource upweighting), target
+  *                       volume --mixFrac of the surviving corpus
+  *   9. weighted sample— keep probability length/fullKeepLen (md5-decided,
   *                       content-stable; docs ≥ fullKeepLen always kept)
   *
   * Outputs under --output:
@@ -69,6 +74,7 @@ object CurateJob {
       minLen: Int = 50, maxPunctRatio: Double = 0.1, fullKeepLen: Int = 400,
       ccnet: Boolean = false, stratum: Option[String] = None,
       nBuckets: Int = 3, keepBuckets: Int = 2,
+      mixTau: Double = 0.0, mixFrac: Double = 0.5,
       smallGraphLimit: Long = 2000000L)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
@@ -162,7 +168,19 @@ object CurateJob {
       } else quality
       val nBucketsN = if (a.ccnet) afterBuckets.count() else nQuality
 
-      val kept = TextProfile.weightedSample(afterBuckets, "id",
+      val afterMix = if (a.mixTau > 0) {
+        // temperature mixing over the SURVIVING corpus: rates derive from
+        // the post-gate per-stratum counts (one tiny aggregate), so a
+        // stratum decimated upstream is still upweighted here
+        val st = docs.select(col(a.idCol).as("id"),
+          a.stratum.map(col).getOrElse(lit("all")).as("mix_stratum"))
+        TextProfile.temperatureMix(afterBuckets.join(st, Seq("id")),
+            "id", "mix_stratum", tau = a.mixTau, targetFrac = a.mixFrac)
+          .drop("mix_stratum", "mix_rate")
+      } else afterBuckets
+      val nMix = if (a.mixTau > 0) afterMix.count() else nBucketsN
+
+      val kept = TextProfile.weightedSample(afterMix, "id",
           col("lc").cast("double") / a.fullKeepLen)
         .select(col("id").as(a.idCol), col("sc").as(a.textCol),
           col("lc").as("n_chars_clean"))
@@ -172,13 +190,13 @@ object CurateJob {
         "rows_in" -> nIn, "after_decontaminate" -> nClean,
         "after_dedup" -> nDeduped, "after_neardup" -> nNearDup,
         "after_spans" -> nSpans, "after_quality" -> nQuality,
-        "after_ccnet" -> nBucketsN, "kept" -> nKept)
+        "after_ccnet" -> nBucketsN, "after_mix" -> nMix, "kept" -> nKept)
       spark.createDataFrame(
           Seq((nIn, nClean, nDeduped, nNearDup, nSpans, nQuality, nBucketsN,
-            nKept)))
+            nMix, nKept)))
         .toDF("rows_in", "after_decontaminate", "after_dedup",
           "after_neardup", "after_spans", "after_quality", "after_ccnet",
-          "kept")
+          "after_mix", "kept")
         .write.mode("overwrite").parquet(s"${a.output}/report")
       counts
     } finally scr.unpersist(blocking = false)
@@ -206,6 +224,8 @@ object CurateJob {
       stratum = m.get("stratum"),
       nBuckets = m.getOrElse("nBuckets", "3").toInt,
       keepBuckets = m.getOrElse("keepBuckets", "2").toInt,
+      mixTau = m.getOrElse("mixTau", "0.0").toDouble,
+      mixFrac = m.getOrElse("mixFrac", "0.5").toDouble,
       smallGraphLimit = m.getOrElse("smallGraph", "2000000").toLong)
 
     val builder = SparkSession.builder().appName("graft-curate")

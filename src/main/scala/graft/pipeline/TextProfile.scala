@@ -412,4 +412,124 @@ object TextProfile {
       aggregate(transform(words, w => tokCount(w)), lit(0L),
         (acc, x) => acc + x).as("n_tokens"))
   }
+
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * sampling recipe (Xue et al. 2021 mT5 §3.1; The Pile's per-set epoch
+    * weights): draw source s with probability p_s ∝ n_s^tau (tau < 1
+    * upweights small sources, tau = 1 is natural proportions), then
+    * materialize a static mixed corpus of ≈ targetFrac·N docs by keeping
+    * each doc of source s with rate r_s = min(1, targetFrac·N·p_s / n_s),
+    * decided by the same content-stable md5 draw as [[weightedSample]].
+    *
+    * Scale shape: ONE map-side-combined `groupBy(source).count()` whose
+    * output is source-cardinality-sized; the weight normalization runs as
+    * windows over that tiny table (never the corpus); the rates broadcast-
+    * join back and the keep decision is a pure per-row predicate — the
+    * corpus itself never shuffles.
+    *
+    * Cross-engine determinism: n_s^tau for tau = 0.5 is an IEEE-exact
+    * `sqrt`, but the SUM of those doubles is order-dependent, so each
+    * weight is quantized to DECIMAL(28,12) first (exact, order-free sum —
+    * the q_emb_dim_stats pattern) and the resulting rate is quantized to
+    * 1e-9 before it is formatted into the md5 cut, so a second engine
+    * reproduces every keep decision bit-identically. */
+  def temperatureMix(docs: DataFrame, idCol: String, sourceCol: String,
+                     tau: Double = 0.5, targetFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0 && targetFrac > 0, s"bad tau=$tau targetFrac=$targetFrac")
+    val all = Window.partitionBy() // over the source-sized aggregate only
+    val rates = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_s"))
+      .withColumn("w",
+        pow(col("n_s").cast("double"), tau).cast("decimal(28,12)"))
+      .withColumn("p",
+        col("w").cast("double") / sum("w").over(all).cast("double"))
+      .withColumn("mix_rate", least(lit(1.0), round(
+        col("p") * lit(targetFrac) * sum("n_s").over(all) / col("n_s"), 9)))
+      .select(col(sourceCol), col("mix_rate"))
+    weightedSample(docs.join(broadcast(rates), sourceCol), idCol,
+      col("mix_rate"))
+  }
+
+  /** Duplication-aware sampling — the soft alternative to hard keeper
+    * election: keep each doc with rate 1/size(cluster)^beta, where the
+    * cluster is its near-dup connected component (absent → singleton,
+    * rate 1). With beta = 1 every dup cluster contributes ONE expected
+    * survivor but, unlike `keepersFromComponents`, which member survives
+    * is an unbiased content-stable draw and large clusters retain a
+    * diversity tail; beta < 1 dampens instead of fully flattening.
+    *
+    * Scale shape: cluster sizes are one aggregate over the components
+    * table (pair-derived — orders of magnitude smaller than the corpus);
+    * the size map joins back onto docs by id, which AQE plans as a
+    * broadcast when the dup set is small (the common case) and a skinny
+    * (id, size) shuffle otherwise; the keep decision is then the pure
+    * [[weightedSample]] predicate. The 1/size^beta rate is quantized to
+    * 1e-9 like [[temperatureMix]] so engines agree on every draw. */
+  def dupAwareSample(docs: DataFrame, components: DataFrame, idCol: String,
+                     beta: Double = 1.0): DataFrame = {
+    val sizes = components.groupBy("comp").agg(count(lit(1)).as("c_size"))
+    val byId = components.join(sizes, "comp")
+      .select(col("id").as("__dup_id"), col("c_size"))
+    val joined = docs
+      .join(byId, docs(idCol) === col("__dup_id"), "left")
+      .drop("__dup_id")
+      .withColumn("c_size", coalesce(col("c_size"), lit(1L)))
+      .withColumn("samp_rate",
+        round(lit(1.0) / pow(col("c_size").cast("double"), beta), 9))
+    weightedSample(joined, idCol, col("samp_rate"))
+  }
+
+  /** In-corpus n-gram LM self-scoring — the CCNet loop closed on the
+    * corpus itself (Wenzek et al. 2020 §4.2 trains a KenLM on a trusted
+    * split and scores everything with it; here the "trusted split" is the
+    * content-stable train split of [[hashSplit]]): trains an add-k-
+    * smoothed char-trigram LM from exact corpus counts and scores EVERY
+    * doc with its average negative log-likelihood per trigram, nll =
+    * −Σ ln p(c₃|c₁c₂) / n_tri with p = (c3+k)/(c2+k·V). Low nll = fluent
+    * under the corpus's own distribution; high = outlier/garbled. Docs
+    * shorter than 3 chars carry no trigram and are omitted.
+    *
+    * Scale shape: the trained model (c3, c2, V) is alphabet-bounded
+    * (≤ |Σ|³ rows) — ONE map-side-combined count over the train split,
+    * then both count tables broadcast; scoring explodes each doc's
+    * trigram occurrences map-locally, joins the broadcast counts without
+    * any exchange, and partial-aggregates per doc so only (id, sum, cnt)
+    * rows ever shuffle. Nothing corpus-sized is ever wide.
+    *
+    * Cross-engine determinism: the ln argument is a ratio of exact
+    * integer-derived doubles (identical in any IEEE engine — the
+    * q_docs_pmi pattern); each term is rounded to 1e-6 and summed as
+    * DECIMAL(18,6) (exact, order-free), and the final division is the
+    * only float op after aggregation, so DuckDB reproduces the score
+    * bit-identically. */
+  def lmSelfScore(docs: DataFrame, idCol: String, textCol: String,
+                  k: Double = 0.5): DataFrame = {
+    def triArr(t: Column): Column =
+      when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2),
+          i => t.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    // exact trigram / prefix-context counts from the train split only
+    val train = hashSplit(docs, idCol).filter(col("split") === "train")
+    val c3 = train.select(explode(triArr(col(textCol))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy(substring(col("g"), 1, 2).as("pre"))
+      .agg(sum("c3").as("c2"))
+    val vRow = c3.agg(
+      count_distinct(substring(col("g"), 3, 1)).as("v")).collect()(0)
+    val v = vRow.getLong(0) // one scalar: the next-char alphabet size
+    require(v > 0, "lmSelfScore: empty train split — no trigrams to train on")
+    val occ = docs.select(col(idCol),
+        explode(triArr(col(textCol))).as("g"))
+      .join(broadcast(c3), Seq("g"), "left")
+      .join(broadcast(c2.withColumnRenamed("pre", "g2")),
+        substring(col("g"), 1, 2) === col("g2"), "left")
+      .select(col(idCol),
+        round(log((coalesce(col("c3"), lit(0L)) + lit(k)) /
+          (coalesce(col("c2"), lit(0L)) + lit(k * v))), 6)
+          .cast("decimal(18,6)").as("lp"))
+    occ.groupBy(idCol).agg(
+      count(lit(1)).as("n_tri"),
+      round(-sum(col("lp")).cast("double") / count(lit(1)), 6).as("nll"))
+  }
 }

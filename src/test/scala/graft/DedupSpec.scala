@@ -1033,6 +1033,36 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L), s"got $kept")
   }
 
+  test("CurateJob: --mixTau temperature-mixes strata, off by default") {
+    // skewed strata: 40 en vs 10 fr docs, all passing every gate; tau=0.5
+    // at frac=0.5 gives rate_en ≈ 0.417, rate_fr ≈ 0.833 — the low-resource
+    // stratum survives at roughly twice the rate of the dominant one
+    val base = "clean filler words that make this document long enough to " +
+      "pass the minimum length quality gate easily"
+    val rows = (1L to 40L).map(i => (i, s"$base english token$i", "en")) ++
+      (101L to 110L).map(i => (i, s"$base french token$i", "fr"))
+    val in = java.nio.file.Files.createTempDirectory("graft_cj4_in").toString
+    rows.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_cj4_out").toString
+    val m = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out, stratum = Some("lang"),
+        mixTau = 0.5, mixFrac = 0.5, fullKeepLen = 10))
+    assert(m("after_quality") == 50, s"all docs pass the gate: $m")
+    assert(m("after_mix") < 50 && m("kept") == m("after_mix"), s"got $m")
+    val kept = spark.read.parquet(s"$out/kept")
+      .collect().map(_.getLong(0)).toSet
+    val keptEn = kept.count(_ <= 40L); val keptFr = kept.count(_ > 100L)
+    assert(keptFr >= 6, s"fr (rate ≈ 0.833) must mostly survive: $keptFr/10")
+    assert(keptEn >= 9 && keptEn <= 25,
+      s"en (rate ≈ 0.417) survives at about half fr's rate: $keptEn/40")
+    // tau = 0 disables the stage: after_mix passes through
+    val out0 = java.nio.file.Files.createTempDirectory("graft_cj4_o0").toString
+    val m0 = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out0, stratum = Some("lang"),
+        fullKeepLen = 10))
+    assert(m0("after_mix") == m0("after_ccnet") && m0("kept") == 50, s"$m0")
+  }
+
   test("DedupJob --cluster writes components + keepers for a near-dup mode") {
     val in = java.nio.file.Files.createTempDirectory("graft_djc_in").toString
     docs().write.mode("overwrite").parquet(in)
@@ -1147,5 +1177,135 @@ class DedupSpec extends AnyFunSuite {
     val uncapped = Dedup.semDedupPairs(df, "vec_id", "embedding",
       k = 1, iters = 1, minSim = 0.95, maxCluster = 4096).collect()
     assert(uncapped.length >= 5, "uncapped single cluster surfaces the plants")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  test("temperatureMix: closed-form rates, tau upweights small sources, " +
+       "expected survivor volume") {
+    val sizes = Map("big" -> 3000, "mid" -> 750, "small" -> 250)
+    val rows = sizes.toSeq.sortBy(_._1).flatMap { case (s, n) =>
+      (0 until n).map(i => (s"${s}_$i", s))
+    }
+    val docs = rows.toDF("doc_id", "source")
+    val out = graft.pipeline.TextProfile
+      .temperatureMix(docs, "doc_id", "source", tau = 0.5, targetFrac = 0.5)
+    val gotRates = out.select("source", "mix_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // driver replica of the quantized-weight rate computation
+    val w = sizes.map { case (s, n) =>
+      s -> BigDecimal.valueOf(math.pow(n.toDouble, 0.5))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val sw = w.values.sum.doubleValue
+    val nTot = sizes.values.sum.toDouble
+    val expRates = sizes.map { case (s, n) =>
+      val p = w(s).doubleValue / sw
+      s -> math.min(1.0, BigDecimal.valueOf(p * 0.5 * nTot / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    expRates.foreach { case (s, r) =>
+      assert(math.abs(gotRates(s) - r) < 1e-12,
+        s"rate($s): got ${gotRates(s)} want $r")
+    }
+    // tau < 1 upweights the small source relative to its natural share
+    assert(expRates("small") > expRates("big"),
+      "temperature must favor the small source")
+    // survivor volume tracks rate·n per source
+    val kept = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      val exp = expRates(s) * n
+      assert(math.abs(kept.getOrElse(s, 0L) - exp) < 4 * math.sqrt(exp) + 8,
+        s"kept($s)=${kept.getOrElse(s, 0L)} expected ≈$exp")
+    }
+    // tau = 1 is natural proportions: every source keeps targetFrac
+    val nat = graft.pipeline.TextProfile
+      .temperatureMix(docs, "doc_id", "source", tau = 1.0, targetFrac = 0.5)
+      .select("source", "mix_rate").distinct()
+      .collect().map(_.getDouble(1)).toSet
+    assert(nat.forall(r => math.abs(r - 0.5) < 1e-9),
+      s"tau=1 rate must be targetFrac for every source: $nat")
+  }
+
+  test("dupAwareSample: 1/cluster-size rates, singletons always survive") {
+    val corpus = ((0L until 100L).map(i => (i, s"unique doc $i")) ++
+      Seq((200L, "clique"), (201L, "clique"),
+          (202L, "clique"), (203L, "clique"))).toDF("doc_id", "text")
+    val pairs = Seq((200L, 201L), (200L, 202L), (200L, 203L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.components(pairs)
+    val out = graft.pipeline.TextProfile
+      .dupAwareSample(corpus, comps, "doc_id", beta = 1.0)
+      .select("doc_id", "c_size", "samp_rate").collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // every singleton kept at rate 1 with size 1
+    (0L until 100L).foreach { i =>
+      assert(byId.contains(i), s"singleton $i must survive")
+      assert(byId(i) == ((1L, 1.0)), s"singleton $i: ${byId(i)}")
+    }
+    // clique members that survive carry size 4 / rate 0.25
+    val clique = byId.keySet.filter(_ >= 200L)
+    clique.foreach { i =>
+      assert(byId(i) == ((4L, 0.25)), s"clique member $i: ${byId(i)}")
+    }
+    assert(clique.size < 4, "rate 1/4 cannot keep the whole clique " +
+      "(md5 draw over 4 ids keeping all 4 has prob 1/256 per seed — " +
+      "and the draw is deterministic, checked once here)")
+    // beta = 0.5 dampens instead of flattening: rate = 1/sqrt(4) = 0.5
+    val soft = graft.pipeline.TextProfile
+      .dupAwareSample(corpus, comps, "doc_id", beta = 0.5)
+      .filter(col("doc_id") >= 200L).select("samp_rate")
+      .collect().map(_.getDouble(0)).toSet
+    assert(soft == Set(0.5), s"beta=0.5 on size-4 cluster: $soft")
+  }
+
+  test("lmSelfScore matches a driver-side brute-force trigram LM replay") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the dog sat on the log and the dog sat again"),
+      (3L, "the cat and the dog sat on the mat together"),
+      (4L, "zq!xv@wk#jp$qz%xw"), // alien trigrams → high nll
+      (5L, "the the the the the the the the"),
+      (6L, "ab"), // shorter than a trigram → no output row
+      (7L, "plain english sentence about cats dogs and mats sitting")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextProfile
+      .lmSelfScore(docs, "doc_id", "text", k = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(!got.contains(6L), "sub-trigram docs carry no score row")
+
+    // driver replica: same split, same counts, same rounding discipline
+    val rows = graft.pipeline.TextProfile.hashSplit(docs, "doc_id")
+      .select("doc_id", "text", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tris(t: String): Seq[String] =
+      if (t.length < 3) Seq.empty
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val trainTris = rows.filter(_._3 == "train").flatMap(r => tris(r._2))
+    assert(trainTris.nonEmpty, "fixture must land docs in the train split")
+    val c3 = trainTris.groupBy(identity).map { case (g, o) => g -> o.size }
+    val c2 = c3.groupBy(_._1.substring(0, 2))
+      .map { case (p, m) => p -> m.values.sum }
+    val v = c3.keys.map(_.substring(2, 3)).toSet.size
+    rows.filter(_._2.length >= 3).foreach { case (id, t, _) =>
+      val terms = tris(t).map { g =>
+        val num = c3.getOrElse(g, 0) + 0.5
+        val den = c2.getOrElse(g.substring(0, 2), 0) + 0.5 * v
+        BigDecimal.valueOf(math.log(num / den))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val nll = round6(-terms.sum.toDouble / terms.size)
+      assert(got(id)._1 == terms.size.toLong, s"n_tri($id)")
+      assert(got(id)._2 == nll, s"nll($id): got ${got(id)._2} want $nll")
+    }
+    // the alien-trigram doc scores strictly worse than every fluent doc
+    val fluent = Seq(1L, 2L, 3L, 7L).filter(got.contains).map(got(_)._2)
+    assert(fluent.nonEmpty && fluent.forall(_ < got(4L)._2),
+      s"alien doc must be the outlier: alien=${got(4L)._2} fluent=$fluent")
   }
 }
