@@ -129,4 +129,38 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"dedup scan must prune to the two referenced columns:\n$plan")
   }
+
+  test("temperatureMix never shuffles the corpus — rates broadcast back") {
+    // the only exchanges belong to the source-sized count aggregate and its
+    // normalization window; corpus rows (which carry text) join the rate
+    // table through a broadcast and are then filtered by a pure predicate
+    val df = graft.pipeline.TextProfile.temperatureMix(
+      spark.read.parquet(dir), "doc_id", "shard",
+      tau = 0.5, targetFrac = 0.5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val badExchange = plan.linesIterator.find(l =>
+      l.contains("Exchange") && l.contains("text"))
+    assert(badExchange.isEmpty, s"corpus text crossed an exchange: $badExchange")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the rate table must broadcast back onto the corpus:\n$plan")
+  }
+
+  test("lmSelfScore ships only (id, partial sums) — text never shuffles, " +
+       "counts broadcast") {
+    // trigram explosion is map-local, both count tables join via broadcast,
+    // and the per-doc aggregate map-side combines before its skinny shuffle
+    val df = graft.pipeline.TextProfile.lmSelfScore(
+      spark.read.parquet(dir), "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val badExchange = plan.linesIterator.find(l =>
+      l.contains("Exchange") && l.contains("text"))
+    assert(badExchange.isEmpty, s"corpus text crossed an exchange: $badExchange")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"count tables must broadcast onto the exploded trigrams:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"per-doc sums must map-side combine before the shuffle:\n$plan")
+  }
 }
