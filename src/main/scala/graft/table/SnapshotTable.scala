@@ -30,7 +30,8 @@ object SnapshotTable {
       id: Long,
       committedChunks: Set[Int],
       totalChunks: Int,
-      counters: Map[String, Long]
+      counters: Map[String, Long],
+      schema: Option[String] = None
   )
 
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
@@ -108,7 +109,8 @@ object SnapshotTable {
       table: String,
       chunk: Int,
       totalChunks: Int,
-      counters: Map[String, Long]
+      counters: Map[String, Long],
+      schema: Option[String] = None
   ): Snapshot = {
     val prev = currentSnapshot(table)
     val id = prev.map(_.id + 1).getOrElse(0L)
@@ -117,15 +119,98 @@ object SnapshotTable {
       counters.map { case (k, v) =>
         k -> (prev.flatMap(_.counters.get(k)).getOrElse(0L) + v)
       }
-    val snap = Snapshot(id, chunks, totalChunks, mergedCounters)
+    // schema carries forward unless this commit declares one; a declared
+    // schema must be additive over the table's current schema
+    val prevSchema = prev.flatMap(_.schema)
+    schema.foreach(s => prevSchema.foreach(validateAdditive(_, s)))
+    val snap =
+      Snapshot(id, chunks, totalChunks, mergedCounters, schema.orElse(prevSchema))
+    writeSnapshot(table, snap)
+    snap
+  }
+
+  private def writeSnapshot(table: String, snap: Snapshot): Unit = {
     val body = renderSnapshot(snap)
-    val vFile = metaDir(table).resolve(s"v$id.json")
+    val vFile = metaDir(table).resolve(s"v${snap.id}.json")
     Files.write(vFile, body.getBytes(StandardCharsets.UTF_8))
-    val tmp = metaDir(table).resolve(s".current.tmp.$id")
-    Files.write(tmp, s"v$id.json".getBytes(StandardCharsets.UTF_8))
+    val tmp = metaDir(table).resolve(s".current.tmp.${snap.id}")
+    Files.write(tmp, s"v${snap.id}.json".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metaDir(table).resolve("current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- schema evolution (Iceberg schema-evolution analog) ------------------
+
+  /** Additive-evolution contract: every existing column keeps its position,
+    * name and type; new nullable columns may only be appended. Renames,
+    * drops, type changes and reorders fail loudly — they would silently
+    * corrupt old-chunk reads in a name-based parquet world (Iceberg does
+    * field-id tracking to permit them; a name-based table must not). */
+  private[table] def validateAdditive(oldDdl: String, newDdl: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val o = StructType.fromDDL(oldDdl)
+    val n = StructType.fromDDL(newDdl)
+    require(n.length >= o.length,
+      s"schema evolution dropped columns: ${o.length} -> ${n.length}")
+    o.zip(n.take(o.length)).foreach { case (oc, nc) =>
+      require(oc.name == nc.name && oc.dataType == nc.dataType,
+        s"schema evolution must be additive: column '${oc.name}: " +
+          s"${oc.dataType.simpleString}' became '${nc.name}: " +
+          s"${nc.dataType.simpleString}' (renames/type changes/reorders " +
+          "are not supported in a name-based parquet table)")
+    }
+  }
+
+  /** Metadata-only schema evolution (Iceberg `ALTER TABLE ... ADD COLUMN`):
+    * commits a new snapshot with the evolved schema and unchanged data.
+    * Existing chunks are never rewritten — readers reconcile via
+    * [[readAligned]] (absent columns read as null). The new schema must be
+    * additive over the current one ([[validateAdditive]]); evolving a
+    * table with no current snapshot fails (nothing to evolve). */
+  def evolveSchema(table: String, newDdl: String): Snapshot = {
+    val prev = currentSnapshot(table).getOrElse(throw new IllegalStateException(
+      s"evolveSchema: no current snapshot at $table"))
+    prev.schema.foreach(validateAdditive(_, newDdl))
+    // also reject a self-inconsistent DDL early
+    org.apache.spark.sql.types.StructType.fromDDL(newDdl)
+    val snap = prev.copy(id = prev.id + 1, schema = Some(newDdl))
+    writeSnapshot(table, snap)
     snap
+  }
+
+  /** Schema-aligned table read: scans the snapshot's committed chunk dirs
+    * and reconciles every row to the snapshot's recorded schema — columns
+    * absent from old chunks (added by a later-than-that-chunk
+    * [[evolveSchema]]) read as typed nulls, columns added AFTER the pinned
+    * snapshot are invisible (time-travel reads see the schema of their
+    * snapshot, not the current one), and column order is the schema's.
+    * Falls back to the files' merged schema when the snapshot predates
+    * schema tracking. */
+  def readAligned(spark: org.apache.spark.sql.SparkSession, table: String,
+                  atSnapshot: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = atSnapshot
+      .map(id => snapshotAt(table, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot v$id missing from $table metadata log")))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalStateException(
+        s"readAligned: no snapshot at $table"))
+    val dirs = snap.committedChunks.toSeq.sorted.map(chunkDir(table, _))
+      .filter(d => Files.exists(Paths.get(d)))
+    require(dirs.nonEmpty, s"readAligned: snapshot v${snap.id} has no data")
+    val raw = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    snap.schema match {
+      case None => raw
+      case Some(ddl) =>
+        val target = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val have = raw.columns.toSet
+        raw.select(target.fields.toSeq.map { f =>
+          if (have.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
   }
 
   /** Data dirs of the current snapshot (what a reader should scan). */
@@ -321,7 +406,11 @@ object SnapshotTable {
     val chunks = s.committedChunks.toSeq.sorted.mkString("[", ",", "]")
     val counters = s.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    s"""{"snapshot_id":${s.id},"total_chunks":${s.totalChunks},"committed_chunks":$chunks,"counters":$counters}"""
+    val schema = s.schema.fold("") { ddl =>
+      val esc = ddl.replace("\\", "\\\\").replace("\"", "\\\"")
+      s""","schema":"$esc""""
+    }
+    s"""{"snapshot_id":${s.id},"total_chunks":${s.totalChunks},"committed_chunks":$chunks,"counters":$counters$schema}"""
   }
 
   private[table] def parseSnapshot(json: String): Snapshot = {
@@ -343,8 +432,12 @@ object SnapshotTable {
           case _ => None
         }
       }.toMap).getOrElse(Map.empty[String, Long])
+    val schema = """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json)
+      .map(m => """\\(.)""".r.replaceAllIn(m.group(1),
+        mm => java.util.regex.Matcher.quoteReplacement(mm.group(1))))
     Snapshot(longField("snapshot_id"), arrField("committed_chunks"),
-      longField("total_chunks").toInt, counters)
+      longField("total_chunks").toInt, counters, schema)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -255,6 +255,69 @@ class TableSpec extends AnyFunSuite {
     assert(before.sameElements(after))
   }
 
+  test("schema evolution: additive add-column, aligned reads, time travel, " +
+       "loud rejection of non-additive changes") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = tmpDir("graft-evolve") + "/t"
+    SnapshotTable.open(dir, 3)
+    // two chunks at schema v0: (clip_id, score)
+    Seq((1L, 0.5), (2L, 0.7)).toDF("clip_id", "score")
+      .write.parquet(SnapshotTable.chunkDir(dir, 0))
+    SnapshotTable.commitChunk(dir, 0, 3, Map("rows" -> 2L),
+      schema = Some("clip_id BIGINT,score DOUBLE"))
+    Seq((3L, 0.9)).toDF("clip_id", "score")
+      .write.parquet(SnapshotTable.chunkDir(dir, 1))
+    SnapshotTable.commitChunk(dir, 1, 3, Map("rows" -> 1L))
+    val preEvolve = SnapshotTable.currentSnapshot(dir).get
+    assert(preEvolve.schema.contains("clip_id BIGINT,score DOUBLE"),
+      "schema carries forward through a schema-less commit")
+
+    // metadata-only evolution: append a nullable column, no data rewritten
+    val evolved = SnapshotTable.evolveSchema(dir,
+      "clip_id BIGINT,score DOUBLE,lang STRING")
+    assert(evolved.id == preEvolve.id + 1 &&
+      evolved.committedChunks == preEvolve.committedChunks)
+    // a chunk written AFTER evolution carries the new column
+    Seq((4L, 0.2, "en")).toDF("clip_id", "score", "lang")
+      .write.parquet(SnapshotTable.chunkDir(dir, 2))
+    SnapshotTable.commitChunk(dir, 2, 3, Map("rows" -> 1L))
+
+    // aligned read: old chunks surface lang as typed null, order = schema
+    val cur = SnapshotTable.readAligned(spark, dir)
+    assert(cur.columns.toSeq == Seq("clip_id", "score", "lang"))
+    val rows = cur.collect().map(r =>
+      r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some("en")),
+      s"got $rows")
+
+    // time travel: a reader pinned before the evolution sees schema v0
+    val old = SnapshotTable.readAligned(spark, dir,
+      atSnapshot = Some(preEvolve.id))
+    assert(old.columns.toSeq == Seq("clip_id", "score"))
+    assert(old.count() == 3, "pre-evolution snapshot has only chunks 0+1")
+
+    // non-additive evolutions fail loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolveSchema(dir, "clip_id BIGINT,lang STRING")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolveSchema(dir,
+        "clip_id BIGINT,score STRING,lang STRING")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolveSchema(dir, "clip_id BIGINT,score DOUBLE")
+    }
+    // a commit declaring a non-additive schema is rejected the same way
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitChunk(dir, 2, 3, Map.empty,
+        schema = Some("clip_id STRING,score DOUBLE,lang STRING"))
+    }
+    // json round-trip of the schema field survives quoting
+    val again = SnapshotTable.currentSnapshot(dir).get
+    assert(again.schema.contains("clip_id BIGINT,score DOUBLE,lang STRING"))
+  }
+
   test("decision table partition layout prunes on keep/lang") {
     val spark = SparkTestBase.spark
     val input = tmpDir("graft-in2")
