@@ -508,6 +508,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // the same pass for a ref TOO LARGE to broadcast exactly: sharded
+    // Bloom prefilter (narrow corpus probe, zero corpus shuffle) + exact
+    // confirmation of the candidate set — provably identical output, so
+    // it shares q_docs_decontaminate's oracle SQL verbatim
+    "q_docs_decontaminate_bloom" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val ref = d.filter(col("doc_id") % 10 === 0).select("text")
+      graft.pipeline.Dedup.decontaminateBloom(d, "text", ref, "text",
+          fpp = 0.01, shards = 8)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- content-stable stratified sampling (corpus mixing) --------------
     // per-stratum keep rates decided purely by md5(doc_id): identical
     // across engines and stable under corpus growth — the downsampling
@@ -1400,6 +1412,13 @@ object SparkEntry {
     // decontamination: NOT EXISTS on the text itself ≡ the engine's
     // 128-bit-md5 anti-join for any practical corpus
     "q_docs_decontaminate" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents r
+        |                  WHERE r.doc_id % 10 = 0 AND r.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Bloom-prefilter variant: false positives are removed by the exact
+    // confirm phase, so the contract IS the exact anti-join — same oracle
+    "q_docs_decontaminate_bloom" ->
       """SELECT d.doc_id FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM documents r
         |                  WHERE r.doc_id % 10 = 0 AND r.text = d.text)

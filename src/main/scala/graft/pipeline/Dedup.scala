@@ -55,6 +55,88 @@ object Dedup {
       md5(col(textCol)) === col("ref_md5"), "left_anti")
   }
 
+  /** Shard index of an md5 hex string: leading 16 bits of the hash, which
+    * is already uniform. Computed by the SAME plain-Scala function on the
+    * filter-build side and the probe side, so the two can never disagree. */
+  private def bloomShardOf(md5Hex: String, shards: Int): Int =
+    java.lang.Integer.parseInt(md5Hex.substring(0, 4), 16) % shards
+
+  /** Decontamination for a reference corpus TOO LARGE to broadcast as an
+    * exact hash set (cross-corpus decontamination, 10^9+-entry blocklists):
+    * the Bloom-prefilter / exact-confirm two-phase, with an output
+    * guaranteed IDENTICAL to [[decontaminate]].
+    *
+    * Why the exact path breaks first: once `ref` outgrows the broadcast
+    * budget, the md5 anti-join becomes a shuffle anti-join that moves the
+    * ENTIRE 10^12-row corpus. This variant never shuffles the corpus:
+    *
+    *  1. build `shards` Bloom filters over the ref md5s — one skinny
+    *     shuffle of 32-char hashes, each shard's filter built in its own
+    *     task (bounded task memory: n/shards keys), then assembled on the
+    *     driver and broadcast. Bits scale with n·ln(1/fpp): 10^9 keys at
+    *     fpp 1e-6 is ~3.4 GB — torrent-broadcastable where the exact
+    *     16-byte-key hash set (plus set overhead) is not, and the probe
+    *     costs O(1) per row either way.
+    *  2. probe: a narrow filter over `docs` keeps only Bloom hits. No
+    *     false negatives, so nothing contaminated escapes; expected false
+    *     positives ≈ fpp·|docs| — CHOOSE `fpp ≲ budget/|docs|` (e.g.
+    *     1e-6 at 10^12 rows → ~10^6 stray candidates). The distinct
+    *     candidate-md5 set is the only thing shuffled out of the corpus.
+    *  3. confirm: semi-join `ref` against the (small, broadcast) candidate
+    *     set — ref is scanned once more but never shuffled — yielding the
+    *     true contaminated-md5 set, which broadcast-anti-joins back onto
+    *     `docs` in a second narrow pass.
+    *
+    * False positives die in step 3, so the result equals the exact
+    * anti-join bit-for-bit regardless of `fpp` (gated in DedupSpec with a
+    * deliberately terrible fpp=0.5 filter). Cost shape at 100 TB: two
+    * narrow scans of the corpus + two scans of ref, zero wide exchange of
+    * either. The probe UDF leaves whole-stage codegen for one stage — the
+    * price of an O(1)-memory-per-row membership test Spark has no native
+    * expression for. */
+  def decontaminateBloom(docs: DataFrame, textCol: String,
+                         ref: DataFrame, refTextCol: String,
+                         fpp: Double = 1e-4,
+                         shards: Int = 16,
+                         expectedRefItems: Long = -1L): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(shards >= 1 && shards <= 65536, s"shards out of range: $shards")
+    val refH = ref.select(md5(col(refTextCol)).as("ref_md5")).distinct()
+    val n = if (expectedRefItems > 0) expectedRefItems else refH.count()
+    val perShard = math.max(64L, n / shards + 1)
+    val built = refH.as[String]
+      .groupByKey(bloomShardOf(_, shards))
+      .mapGroups { (shard, it) =>
+        val bf = BloomFilter.create(perShard, fpp)
+        it.foreach(bf.putString)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (shard, bos.toByteArray)
+      }.collect()
+    val filters = new Array[BloomFilter](shards)
+    built.foreach { case (s, bytes) =>
+      filters(s) = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+    val bFilters = spark.sparkContext.broadcast(filters)
+    val mightHit = udf { (m: String) =>
+      m != null && {
+        val f = bFilters.value(bloomShardOf(m, shards))
+        f != null && f.mightContainString(m)
+      }
+    }
+    val withMd5 = docs.withColumn("__decon_md5", md5(col(textCol)))
+    val candMd5 = withMd5.filter(mightHit(col("__decon_md5")))
+      .select(col("__decon_md5").as("cand_md5")).distinct()
+    val confirmed = refH
+      .join(broadcast(candMd5), col("ref_md5") === col("cand_md5"), "left_semi")
+    withMd5
+      .join(broadcast(confirmed), col("__decon_md5") === col("ref_md5"),
+        "left_anti")
+      .drop("__decon_md5")
+  }
+
   /** Spread a small scan across the session's default parallelism: a
     * single-file table plans one input partition, which would serialize
     * every expensive narrow stage (signatures, fingerprints) onto one core

@@ -470,6 +470,48 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("decontaminateBloom: identical to exact decontaminate, even at fpp=0.5") {
+    // 200 corpus docs, every 10th also present in a 40-doc reference set
+    val corpus = (0L until 200L).map(i => (i, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val ref = ((0L until 200L by 10L).map(i => s"document body number $i") ++
+      (0 until 20).map(i => s"ref-only entry $i")).toDF("text")
+    val exact = Dedup.decontaminate(corpus, "text", ref, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.size == 180)
+    // a deliberately terrible filter (fpp=0.5, 1 shard) floods the
+    // candidate set with false positives — the exact-confirm phase must
+    // still reduce the output to the true answer bit-for-bit
+    for ((fpp, shards) <- Seq((0.5, 1), (0.01, 4), (1e-4, 16))) {
+      val bloom = Dedup.decontaminateBloom(corpus, "text", ref, "text",
+        fpp = fpp, shards = shards).collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"fpp=$fpp shards=$shards diverged")
+    }
+  }
+
+  test("decontaminateBloom: corpus never shuffles; only candidate md5s do") {
+    val corpus = (0L until 300L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val ref = (0L until 300L by 7L).map(i => s"body $i").toDF("text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Dedup.decontaminateBloom(corpus, "text", ref, "text",
+        fpp = 0.01, shards = 4)
+      val plan = out.queryExecution.executedPlan.toString
+      // both joins on the corpus path are broadcast — no sort-merge, no
+      // shuffled-hash join anywhere in the final plan
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"corpus-side wide join leaked into the plan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"expected broadcast anti-join:\n$plan")
+      // the text column never crosses an exchange: the only exchange in the
+      // plan is the candidate-md5 distinct (32-char hashes)
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(!_.contains("text")),
+        s"document text crossed an exchange:\n${exchanges.mkString("\n")}")
+      assert(out.count() == 300 - 43, "300 docs minus the 43 planted overlaps")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("stratifiedSample: per-stratum rates, exact 0/1, growth-stable") {
     val docs = (0L until 4000L).map(i => (i, s"src${i % 4}"))
       .toDF("doc_id", "source")
