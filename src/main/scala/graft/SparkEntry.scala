@@ -771,6 +771,31 @@ object SparkEntry {
           round(col("mix_rate"), 6).as("mix_rate"))
         .orderBy("doc_id")),
 
+    // ---- epoch-aware mixture upsampling ----------------------------------
+    // the other half of the recipe: low-resource languages get rates ABOVE
+    // 1 (multiple epochs, capped at 4 per Muennighoff 2023) — each doc
+    // emits floor(r) copies plus a content-stable fractional draw, with
+    // copy_idx keeping (id, copy) a key for downstream packing
+    "q_docs_upsample" -> ((s, dir) =>
+      graft.pipeline.TextProfile.upsampleMix(
+          s.read.parquet(t(dir, "documents")), "doc_id", "lang",
+          tau = 0.3, targetFrac = 1.5, maxEpochs = 4.0)
+        .select(col("doc_id"), col("lang"),
+          col("copy_idx").cast("long").as("copy_idx"),
+          round(col("mix_rate"), 6).as("mix_rate"))
+        .orderBy("doc_id", "copy_idx")),
+
+    // ---- token-budget sequence packing -----------------------------------
+    // the last pre-training stage: the corpus as one deterministic token
+    // stream (order = md5(id)) cut into 2048-token shards; every doc gets
+    // its exact global start offset via a two-level distributed prefix sum
+    // (256 hex-prefix groups — never a corpus-wide single-task window)
+    "q_docs_pack" -> ((s, dir) =>
+      graft.pipeline.TextProfile.packSequences(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text",
+          budgetTokens = 2048)
+        .orderBy("doc_id")),
+
     // ---- duplication-aware soft sampling ----------------------------------
     // keep rate 1/|near-dup cluster| over documents ∪ the planted copies —
     // each dup cluster contributes ONE expected survivor, chosen by an
@@ -1782,6 +1807,47 @@ object SparkEntry {
         |      lower(lpad(to_hex(CAST(floor(
         |        rr.mix_rate * 4294967296.0) AS BIGINT)), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
+    // epoch-aware upsampling replayed end-to-end: same n_s^tau rate law
+    // with the 4-epoch cap, then floor(r) copies + the md5 fractional
+    // draw, copies materialized via range-unnest
+    "q_docs_upsample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |r AS (SELECT lang, n_s,
+        |  CAST(CAST(pow(CAST(n_s AS DOUBLE), 0.3) AS DECIMAL(28,12)) AS DOUBLE) /
+        |  CAST(sum(CAST(pow(CAST(n_s AS DOUBLE), 0.3) AS DECIMAL(28,12)))
+        |       OVER () AS DOUBLE) AS p,
+        |  CAST(sum(n_s) OVER () AS BIGINT) AS n_tot FROM c),
+        |rr AS (SELECT lang,
+        |  least(CAST(4.0 AS DOUBLE),
+        |        round(p * 1.5 * n_tot / n_s, 9)) AS mix_rate FROM r),
+        |w AS (SELECT d.doc_id, d.lang, rr.mix_rate,
+        |  CAST(floor(rr.mix_rate) AS BIGINT) +
+        |  CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |    lower(lpad(to_hex(CAST(floor(
+        |      (rr.mix_rate - floor(rr.mix_rate)) * 4294967296.0) AS BIGINT)),
+        |      8, '0'))
+        |  THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN rr ON d.lang = rr.lang)
+        |SELECT * FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx,
+        |    round(mix_rate, 6) AS mix_rate
+        |  FROM w WHERE n_copies > 0)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+    // sequence packing: one global window replays the engine's two-level
+    // prefix sum exactly (order key md5(id); the 256-group decomposition
+    // is order-preserving, so the single-node window IS the same sum)
+    "q_docs_pack" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |  md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_tok
+        |  FROM b)
+        |SELECT doc_id, n_tok, start_tok, start_tok // 2048 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     // dup-aware soft sampling: the q_docs_components pair+closure CTE
     // extended with cluster sizes and the 1/size md5 draw
     "q_docs_dup_sample" ->

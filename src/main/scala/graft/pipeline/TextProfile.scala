@@ -434,20 +434,109 @@ object TextProfile {
     * 1e-9 before it is formatted into the md5 cut, so a second engine
     * reproduces every keep decision bit-identically. */
   def temperatureMix(docs: DataFrame, idCol: String, sourceCol: String,
-                     tau: Double = 0.5, targetFrac: Double = 0.5): DataFrame = {
+                     tau: Double = 0.5, targetFrac: Double = 0.5): DataFrame =
+    weightedSample(
+      docs.join(broadcast(mixRates(docs, sourceCol, tau, targetFrac, 1.0)),
+        sourceCol),
+      idCol, col("mix_rate"))
+
+  /** The per-source temperature-mix acceptance-rate table shared by
+    * [[temperatureMix]] (downsample-only, cap 1.0) and [[upsampleMix]]
+    * (cap = the epoch budget). One source-sized aggregate; the window
+    * runs over that tiny frame, never the corpus. */
+  private def mixRates(docs: DataFrame, sourceCol: String, tau: Double,
+                       targetFrac: Double, maxRate: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(tau > 0 && targetFrac > 0, s"bad tau=$tau targetFrac=$targetFrac")
+    require(tau > 0 && targetFrac > 0 && maxRate > 0,
+      s"bad tau=$tau targetFrac=$targetFrac maxRate=$maxRate")
     val all = Window.partitionBy() // over the source-sized aggregate only
-    val rates = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_s"))
+    docs.groupBy(sourceCol).agg(count(lit(1)).as("n_s"))
       .withColumn("w",
         pow(col("n_s").cast("double"), tau).cast("decimal(28,12)"))
       .withColumn("p",
         col("w").cast("double") / sum("w").over(all).cast("double"))
-      .withColumn("mix_rate", least(lit(1.0), round(
+      .withColumn("mix_rate", least(lit(maxRate), round(
         col("p") * lit(targetFrac) * sum("n_s").over(all) / col("n_s"), 9)))
       .select(col(sourceCol), col("mix_rate"))
-    weightedSample(docs.join(broadcast(rates), sourceCol), idCol,
-      col("mix_rate"))
+  }
+
+  /** Deterministic upsampling — the half of a mixture recipe
+    * [[weightedSample]] cannot express: a rate r MAY EXCEED 1, and each
+    * document emits floor(r) whole copies plus one more iff its md5
+    * fraction falls below frac(r) — expected copies = r exactly, the
+    * extra-copy draw is the same content-stable md5 cut as every sampler
+    * here (identical across runs/engines/partitionings), and the output
+    * carries `copy_idx` (0-based) so (id, copy_idx) stays a key for
+    * downstream shuffling/packing. Epoch semantics: r = 3.25 means every
+    * doc appears in 3 epochs and a stable quarter of docs in a 4th.
+    * Scale shape: a pure narrow projection + explode — no shuffle, no
+    * state; the blow-up factor is exactly the mixture's epoch budget. */
+  def upsample(docs: DataFrame, idCol: String, rate: Column): DataFrame = {
+    val r = round(greatest(rate, lit(0.0)), 9)
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val frac = r - floor(r)
+    val cutHex = lower(lpad(hex(floor(frac * 4294967296.0).cast("long")), 8, "0"))
+    docs
+      .withColumn("n_copies",
+        (floor(r) + when(h < cutHex, 1).otherwise(0)).cast("int"))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0), col("n_copies") - 1)))
+  }
+
+  /** Temperature mixing WITH upsampling (the mT5/Pile recipe as actually
+    * trained): per-source rates p_s·target·N/n_s from the same n_s^tau
+    * law as [[temperatureMix]], but small high-quality sources get rates
+    * above 1 (multiple epochs) instead of being capped — bounded by
+    * `maxEpochs`, the standard repetition-harm guard (Muennighoff 2023
+    * observes diminishing returns past ~4 epochs). Every doc of an
+    * upsampled source appears floor(r) times plus a content-stable
+    * fractional draw, via [[upsample]]. */
+  def upsampleMix(docs: DataFrame, idCol: String, sourceCol: String,
+                  tau: Double = 0.5, targetFrac: Double = 1.0,
+                  maxEpochs: Double = 4.0): DataFrame =
+    upsample(
+      docs.join(
+        broadcast(mixRates(docs, sourceCol, tau, targetFrac, maxEpochs)),
+        sourceCol),
+      idCol, col("mix_rate"))
+
+  /** Token-budget sequence packing — the last stage before training: lay
+    * the corpus out as ONE deterministic token stream (order = md5(id),
+    * content-stable like every sampler here) and cut it into fixed-budget
+    * shards; each document gets its global `start_tok` offset and the
+    * `shard` its first token lands in (floor(start/budget) — documents may
+    * straddle a boundary, the standard concat-then-split packing).
+    *
+    * Scale shape: a global running sum done as the classic two-level
+    * distributed prefix sum — NOT one corpus-wide window (which would put
+    * 10^12 rows in a single task): documents partition into 256 groups by
+    * their md5's first two hex chars (a PREFIX of the order key, so group
+    * order ⊂ global order); the within-group exclusive cumsum is a
+    * 256-way partitioned window, the 256 group totals take one tiny
+    * driver-side window, and the group offset joins back as a broadcast.
+    * Token counts are the exact whitespace-split word count, so a second
+    * engine reproduces every offset bit-for-bit. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"bad budget $budgetTokens")
+    val ordExpr = md5(col(idCol).cast("string"))
+    val base = docs.select(col(idCol), ordExpr.as("__ord"),
+      substring(ordExpr, 1, 2).as("__g"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tok"))
+    val wIn = Window.partitionBy("__g").orderBy("__ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = base
+      .withColumn("__within", coalesce(sum("n_tok").over(wIn), lit(0L)))
+    val offsets = base.groupBy("__g").agg(sum("n_tok").as("__tot"))
+      .withColumn("__off", coalesce(
+        sum("__tot").over(Window.partitionBy().orderBy("__g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__g", "__off")
+    withIn.join(broadcast(offsets), "__g")
+      .withColumn("start_tok", col("__off") + col("__within"))
+      .withColumn("shard", expr(s"start_tok DIV $budgetTokens"))
+      .select(col(idCol), col("n_tok"), col("start_tok"), col("shard"))
   }
 
   /** Duplication-aware sampling — the soft alternative to hard keeper

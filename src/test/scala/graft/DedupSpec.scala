@@ -1272,6 +1272,68 @@ class DedupSpec extends AnyFunSuite {
       s"tau=1 rate must be targetFrac for every source: $nat")
   }
 
+  test("upsample: exact whole copies, stable fractional draw, and the " +
+       "r<1 case degenerates to weightedSample's keep set") {
+    val docs = (0L until 1000L).map(i => (i, "x")).toDF("doc_id", "text")
+    // integer rate: exactly 3 copies per doc, copy_idx 0..2
+    val r3 = graft.pipeline.TextProfile
+      .upsample(docs, "doc_id", lit(3.0))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"),
+        min("copy_idx").as("lo"), max("copy_idx").as("hi"))
+      .collect()
+    assert(r3.length == 1000 &&
+      r3.forall(r => r.getLong(1) == 3 && r.getInt(2) == 0 && r.getInt(3) == 2))
+    // fractional rate: copies ∈ {2,3}, expected total = 2500
+    val r25 = graft.pipeline.TextProfile
+      .upsample(docs, "doc_id", lit(2.5))
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r25.values.forall(n => n == 2 || n == 3))
+    val total = r25.values.sum
+    assert(math.abs(total - 2500L) < 4 * math.sqrt(2500.0) + 8,
+      s"total copies $total, expected ≈2500")
+    // r<1: the set of emitted docs IS weightedSample's keep set (same cut)
+    val up = graft.pipeline.TextProfile.upsample(docs, "doc_id", lit(0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ws = graft.pipeline.TextProfile
+      .weightedSample(docs, "doc_id", lit(0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(up == ws, "fractional draw must match weightedSample's md5 cut")
+    // determinism: the 2.5-rate third-copy subset is identical across runs
+    val again = graft.pipeline.TextProfile
+      .upsample(docs, "doc_id", lit(2.5))
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == r25)
+  }
+
+  test("packSequences matches a driver-side brute-force prefix sum; " +
+       "offsets tile the token stream exactly") {
+    val docs = (0L until 500L).map(i =>
+      (i, ("w " * ((i % 17).toInt + 1)).trim)).toDF("doc_id", "text")
+    val out = graft.pipeline.TextProfile
+      .packSequences(docs, "doc_id", "text", budgetTokens = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // brute force: sort by md5(id) hex, exclusive running sum of word counts
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      String.format("%032x", new java.math.BigInteger(1, d))
+    }
+    var acc = 0L
+    val exp = (0L until 500L).map(i => (i, (i % 17) + 1, md5hex(i.toString)))
+      .sortBy(_._3)
+      .map { case (i, n, _) =>
+        val start = acc; acc += n; (i, n, start, start / 64)
+      }.sortBy(_._1).toArray
+    assert(out.sameElements(exp),
+      s"first diff: ${out.zip(exp).find(p => p._1 != p._2)}")
+    // the offsets tile [0, total): max(start+n_tok) = sum(n_tok)
+    assert(out.map(t => t._3 + t._2).max == out.map(_._2).sum)
+  }
+
   test("dupAwareSample: 1/cluster-size rates, singletons always survive") {
     val corpus = ((0L until 100L).map(i => (i, s"unique doc $i")) ++
       Seq((200L, "clique"), (201L, "clique"),
