@@ -124,6 +124,22 @@ object SparkEntry {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
       .orderBy("lang", "codec")),
 
+    // ---- speed-perturbation augmentation over the clips table ------------
+    // the training-set expansion pass (Ko et al. 2015 0.9/1.0/1.1): one
+    // narrow decode→resample→re-encode flatMap, no waveform shuffle; bytes
+    // are checked bit-level in AugmentSpec, this row carries the metadata
+    "clips_augmented" -> ((s, dir) => {
+      import s.implicits._
+      val params = ClipGen.Params(clipRowsFor(dir))
+      val clips = s.range(0, params.n, 1,
+        math.max(8, s.sparkContext.defaultParallelism))
+        .map(i => ClipGen.row(i, params)).toDF()
+      graft.pipeline.Augment.speedPerturb(clips, Seq(0.9, 1.0, 1.1))
+        .select(col("clip_id"), col("aug"), col("aug_idx"), col("sr_hz"),
+          col("dur_ms"), length(col("bytes")).as("n_bytes"))
+        .orderBy("clip_id", "aug_idx")
+    }),
+
     // ---- aggregations (G9-G11 analogs) -----------------------------------
     "q_pricing_summary" -> ((s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.codec.Codecs
+import graft.fixture.ClipGen
+import graft.pipeline.Augment
+
+/** Deterministic audio augmentation: speed/gain perturbation + loudness
+  * normalization (the training-set expansion family). */
+class AugmentSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def clips(n: Int) = {
+    import spark.implicits._
+    val params = ClipGen.Params(n, seed = 11, maxDurMs = 1500)
+    spark.range(n).map(i => ClipGen.row(i, params)).toDF()
+  }
+
+  test("speedPerturb: 1.0 is a bit-identical pass-through for pcm clips; " +
+       "0.9/1.1 scale duration by ~1/f; (clip_id, aug_idx) is a key") {
+    import spark.implicits._
+    val in = clips(60).cache()
+    val out = Augment.speedPerturb(in, Seq(0.9, 1.0, 1.1)).cache()
+    val nDecodable = in.as[graft.model.ClipRow].collect()
+      .count(c => Codecs.decode(c.codec, c.bytes).isRight)
+    assert(out.count() == nDecodable * 3L)
+    assert(out.select("clip_id", "aug_idx").distinct().count() == out.count())
+    // unit factor round-trips pcm_s16le bytes bit-identically
+    val pcmIn = in.filter(col("codec") === "pcm_s16le")
+      .select("clip_id", "bytes").as[(String, Array[Byte])]
+      .collect().toMap
+    assert(pcmIn.nonEmpty, "fixture must contain pcm_s16le clips")
+    val unit = out.filter(col("aug") === "sp1.00")
+      .select("clip_id", "bytes").as[(String, Array[Byte])]
+      .collect().toMap
+    pcmIn.foreach { case (id, b) =>
+      assert(java.util.Arrays.equals(unit(id), b), s"unit factor mutated $id")
+    }
+    // duration scaling: sp0.90 is longer (slower), sp1.10 shorter
+    val durs = out.groupBy("clip_id").pivot("aug").sum("dur_ms")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    durs.foreach { case (d090, d100, d110) =>
+      assert(math.abs(d090 - d100 / 0.9) <= d100 * 0.02 + 2,
+        s"sp0.90 duration $d090 vs base $d100")
+      assert(math.abs(d110 - d100 / 1.1) <= d100 * 0.02 + 2,
+        s"sp1.10 duration $d110 vs base $d100")
+    }
+    // determinism: a second run emits bit-identical bytes
+    val again = Augment.speedPerturb(in, Seq(0.9, 1.0, 1.1))
+      .select("clip_id", "aug", "bytes")
+      .as[(String, String, Array[Byte])].collect()
+      .map(t => (t._1, t._2) -> java.util.Arrays.hashCode(t._3)).toMap
+    val first = out.select("clip_id", "aug", "bytes")
+      .as[(String, String, Array[Byte])].collect()
+      .map(t => (t._1, t._2) -> java.util.Arrays.hashCode(t._3)).toMap
+    assert(again == first)
+    out.unpersist(); in.unpersist()
+  }
+
+  test("gainPerturb: +6 dB raises RMS by ~6 dB below saturation; 0 dB is " +
+       "identity for pcm clips") {
+    import spark.implicits._
+    val in = clips(40).cache()
+    val out = Augment.gainPerturb(in, Seq(-6.0, 0.0, 6.0)).cache()
+    def rmsDb(b: Array[Byte]): Double = {
+      val p = Codecs.decodePcmS16le(b).toOption.get
+      if (p.isEmpty) -999 else {
+        val s = p.map(x => x.toDouble * x).sum / p.length
+        if (s <= 0) -999 else 10 * math.log10(s)
+      }
+    }
+    val byAug = out.select("clip_id", "aug", "bytes")
+      .as[(String, String, Array[Byte])].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    var checked = 0
+    byAug.foreach { case (id, m) =>
+      val base = rmsDb(m("g+0.0dB"))
+      // only meaningful away from silence and saturation
+      if (base > -45 && base < -15) {
+        val up = rmsDb(m("g+6.0dB")); val down = rmsDb(m("g-6.0dB"))
+        assert(math.abs(up - base - 6.0) < 0.6, s"$id: +6dB gave ${up - base}")
+        assert(math.abs(down - base + 6.0) < 0.6,
+          s"$id: -6dB gave ${down - base}")
+        checked += 1
+      }
+    }
+    assert(checked > 5, s"only $checked clips in the testable band")
+    out.unpersist(); in.unpersist()
+  }
+
+  test("normalizeLoudness: non-silent clips land on target ±0.5 dB, " +
+       "sub-floor clips pass through at unit gain") {
+    import spark.implicits._
+    val in = clips(60)
+    val out = Augment.normalizeLoudness(in, targetDb = -20.0, floorDb = -60.0)
+      .cache()
+    val rows = out.select("bytes", "rms_db_in", "gain_db")
+      .as[(Array[Byte], Double, Double)].collect()
+    assert(rows.nonEmpty)
+    var normd = 0
+    rows.foreach { case (b, rmsIn, gain) =>
+      if (rmsIn >= -60.0 && rmsIn < -25.0) {
+        // boosted upward with no saturation risk: must land on target
+        val p = Codecs.decodePcmS16le(b).toOption.get
+        val s = p.map(x => x.toDouble * x).sum / math.max(1, p.length)
+        val got = 10 * math.log10(s)
+        assert(math.abs(got - (-20.0)) < 0.5, s"normalized to $got")
+        normd += 1
+      }
+      if (rmsIn < -60.0) assert(gain == 0.0, "sub-floor clip must not boost")
+    }
+    assert(normd > 3, s"only $normd clips exercised the boost path")
+    out.unpersist()
+  }
+}
