@@ -140,6 +140,7 @@ object FilterJob {
       // round-robin file assignment → even chunk sizes
       val slice = files.zipWithIndex.collect { case (f, i) if i % args.chunks == c => f }
       val counters = new FilterPipeline.Counters(spark)
+      var chunkSchema: Option[String] = None
       if (slice.nonEmpty) {
         val clips = readClips(spark, slice, args.format)
         val (dec, release) =
@@ -155,6 +156,12 @@ object FilterJob {
         salted.write.mode("overwrite")
           .partitionBy("keep", "lang")
           .parquet(SnapshotTable.chunkDir(args.output, c))
+        // record the decisions schema in the snapshot metadata (the
+        // Iceberg schema-tracking analog): identical across chunks of a
+        // run, so the carry-forward/additive validation is a no-op here —
+        // but a later run appending a widened decisions row evolves the
+        // table for readAligned consumers instead of silently diverging
+        chunkSchema = Some(dec.schema.toDDL)
         // adaptive mode persisted the chunk's features (two scans: cohort
         // stats + decisions); the write action consumed both — release it
         release()
@@ -166,7 +173,7 @@ object FilterJob {
           "rows" -> counters.rows.value,
           "decode_errors" -> counters.decodeErrors.value,
           "scrubbed" -> counters.scrubbed.value
-        ))
+        ), schema = chunkSchema)
       }
       if (verbose)
         println(f"[graft.job] chunk $c: ${(System.nanoTime() - t0) / 1e9}%.2f s")

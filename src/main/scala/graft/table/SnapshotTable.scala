@@ -146,6 +146,25 @@ object SnapshotTable {
     * drops, type changes and reorders fail loudly — they would silently
     * corrupt old-chunk reads in a name-based parquet world (Iceberg does
     * field-id tracking to permit them; a name-based table must not). */
+  /** Nullability-normalized type (all fields/elements nullable): a
+    * snapshot schema is a READ contract — parquet files round-trip
+    * through partitioned writes and appends where Spark cannot prove
+    * non-nullness, so NOT NULL markers in a recorded DDL would make the
+    * aligned cast illegal and additive comparison brittle. */
+  private def asAllNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asAllNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(asAllNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(asAllNullable(m.keyType),
+        asAllNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   private[table] def validateAdditive(oldDdl: String, newDdl: String): Unit = {
     import org.apache.spark.sql.types.StructType
     val o = StructType.fromDDL(oldDdl)
@@ -153,7 +172,8 @@ object SnapshotTable {
     require(n.length >= o.length,
       s"schema evolution dropped columns: ${o.length} -> ${n.length}")
     o.zip(n.take(o.length)).foreach { case (oc, nc) =>
-      require(oc.name == nc.name && oc.dataType == nc.dataType,
+      require(oc.name == nc.name &&
+          asAllNullable(oc.dataType) == asAllNullable(nc.dataType),
         s"schema evolution must be additive: column '${oc.name}: " +
           s"${oc.dataType.simpleString}' became '${nc.name}: " +
           s"${nc.dataType.simpleString}' (renames/type changes/reorders " +
@@ -200,15 +220,21 @@ object SnapshotTable {
     val dirs = snap.committedChunks.toSeq.sorted.map(chunkDir(table, _))
       .filter(d => Files.exists(Paths.get(d)))
     require(dirs.nonEmpty, s"readAligned: snapshot v${snap.id} has no data")
-    val raw = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    // basePath keeps the chunk=N dirs (and any partitionBy subdirs under
+    // them) parsing as partition columns of ONE table rather than
+    // conflicting roots
+    val raw = spark.read.option("mergeSchema", "true")
+      .option("basePath", Paths.get(table, "data").toString)
+      .parquet(dirs: _*)
     snap.schema match {
       case None => raw
       case Some(ddl) =>
         val target = org.apache.spark.sql.types.StructType.fromDDL(ddl)
         val have = raw.columns.toSet
         raw.select(target.fields.toSeq.map { f =>
-          if (have.contains(f.name)) col(f.name).cast(f.dataType)
-          else lit(null).cast(f.dataType).as(f.name)
+          val t = asAllNullable(f.dataType)
+          if (have.contains(f.name)) col(f.name).cast(t)
+          else lit(null).cast(t).as(f.name)
         }: _*)
     }
   }

@@ -147,6 +147,45 @@ class PushdownSpec extends AnyFunSuite {
       s"the rate table must broadcast back onto the corpus:\n$plan")
   }
 
+  test("upsampleMix adds no corpus exchange: rates broadcast, the copy " +
+       "explode is narrow") {
+    val df = graft.pipeline.TextProfile.upsampleMix(
+      spark.read.parquet(dir), "doc_id", "shard",
+      tau = 0.3, targetFrac = 1.5, maxEpochs = 4.0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val badExchange = plan.linesIterator.find(l =>
+      l.contains("Exchange") && l.contains("text"))
+    assert(badExchange.isEmpty, s"corpus text crossed an exchange: $badExchange")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the rate table must broadcast back onto the corpus:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"copies must come from a narrow explode:\n$plan")
+  }
+
+  test("packSequences: the corpus crosses ONE skinny exchange (the 256-way " +
+       "group hash), never the text; offsets broadcast back") {
+    val df = graft.pipeline.TextProfile.packSequences(
+      spark.read.parquet(dir), "doc_id", "text", budgetTokens = 64)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the prefix-sum decomposition must not move document text: the corpus
+    // exchange carries only (id, order-key, group, token-count)
+    val badExchange = plan.linesIterator.find(l =>
+      l.contains("Exchange") && l.contains("text"))
+    assert(badExchange.isEmpty, s"document text crossed an exchange: $badExchange")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group offsets must broadcast back onto the corpus:\n$plan")
+    // the corpus-side window is partitioned (256 groups), not global: the
+    // only SinglePartition exchange in the plan feeds the 256-row offsets
+    // window, which sits under the broadcast side
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val single = finalPlan.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"more than one single-partition exchange:\n$finalPlan")
+  }
+
   test("lmSelfScore ships only (id, partial sums) — text never shuffles, " +
        "counts broadcast") {
     // trigram explosion is map-local, both count tables join via broadcast,

@@ -75,6 +75,13 @@ class TableSpec extends AnyFunSuite {
       .drop("chunk").collect().map(_.toString).sorted
     assert(a.length == 240 && b.length == 240)
     assert(a.sameElements(b), "resumed table content differs from uninterrupted run")
+    // every job commit records the decisions schema in snapshot metadata
+    // (the Iceberg schema-tracking analog) and readAligned honors it
+    val snapSchema = SnapshotTable.currentSnapshot(outA).flatMap(_.schema)
+    assert(snapSchema.exists(_.contains("clip_id")),
+      s"job snapshot must carry the decisions DDL, got $snapSchema")
+    val aligned = SnapshotTable.readAligned(spark, outA)
+    assert(aligned.columns.contains("clip_id") && aligned.count() == 240)
   }
 
   test("incremental scan between snapshots yields exactly the delta chunks") {
