@@ -316,6 +316,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- incremental near-dup against a persisted band index -------------
+    // the daily-ingest shape: corpus = documents, hashed ONCE into a
+    // (id, band, band_hash) index (Dedup.nearDupIndex — what a production
+    // run persists as a SnapshotTable chunk per ingest batch); batch =
+    // planted near-dup copies of docs < 30 plus reversed-text decoys
+    // (reverse shares ~no 5-shingles with the original). The corpus side
+    // is matched via the index only — never re-hashed — and corpus text is
+    // semi-join pruned to candidate ids before shingling; the result must
+    // equal the exact cross-pair shingle-Jaccard ground truth DuckDB
+    // computes from scratch. Same (16×5, J≥0.5) parameters and recall
+    // argument as q_docs_near_dup: every true pair sits at J ≥ 0.83.
+    "q_docs_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text"))
+        .union(d.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      val index = graft.pipeline.Dedup.nearDupIndex(d, "doc_id", "text",
+        shingleK = 5, numHashes = 80, rowsPerBand = 5)
+      graft.pipeline.Dedup.incrementalNearDup(batch, index, d,
+          "doc_id", "text", shingleK = 5, numHashes = 80, rowsPerBand = 5,
+          minJaccard = 0.5, maxBucket = 1024)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // ---- SimHash near-dup, shingle-Jaccard-verified (training-data op) ---
     // 4 bands × 16 bits + 2-bit multi-probe (round-3 re-parameterization of
     // the round-2 8×8): pigeonhole guarantees recall at Hamming ≤
@@ -1203,6 +1231,40 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = i.id_b
         |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // cross-pair (batch × corpus) exact shingle-Jaccard ground truth for the
+    // incremental index path: DuckDB rebuilds the batch (near-dup copies +
+    // reversed-text decoys) and computes every batch-vs-corpus Jaccard from
+    // scratch — the index-join engine output must equal it exactly
+    "q_docs_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, reverse(text) AS text
+        |  FROM documents WHERE doc_id >= 30 AND doc_id < 60),
+        |shc AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM documents)),
+        |shb AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM batch)),
+        |inter AS (
+        |  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS n_inter
+        |  FROM shb b JOIN shc c ON b.s = c.s
+        |  GROUP BY 1, 2),
+        |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1)
+        |SELECT i.new_id, i.corpus_id,
+        |  round(CAST(i.n_inter AS DOUBLE) / (sb.n + sc.n - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN szb sb ON sb.doc_id = i.new_id
+        |JOIN szc sc ON sc.doc_id = i.corpus_id
+        |WHERE CAST(i.n_inter AS DOUBLE) / (sb.n + sc.n - i.n_inter) >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // same ground truth as q_docs_near_dup: the fingerprint-bucket candidate
     // generator must converge on the identical verified pair set
     "q_docs_fingerprint" ->

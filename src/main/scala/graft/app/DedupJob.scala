@@ -11,7 +11,7 @@ import graft.pipeline.Dedup
   *
   *   spark-submit --class graft.app.DedupJob <jar> \
   *     --input <documents parquet> --output <dir> \
-  *     [--mode exact|minhash|simhash|fingerprint|containment|spans|semdedup] \
+  *     [--mode exact|minhash|simhash|fingerprint|containment|spans|semdedup|incremental] \
   *     [--id doc_id] [--text text] [--minJaccard 0.5] \
   *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536] \
   *     [--cluster true] [--checkpointDir <reliable dir>] [--smallGraph 2000000] \
@@ -46,6 +46,14 @@ import graft.pipeline.Dedup
   * clustering contraction (cluster mode durability; defaults to fast
   * non-replicated localCheckpoint — see Dedup.components).
   *
+  * incremental mode (daily ingest): --input is the NEW batch, --corpus the
+  * committed corpus text table, --indexTable a SnapshotTable of persisted
+  * MinHash band rows (bootstrapped from --corpus on first run, then one
+  * committed chunk per ingest). Outputs pairs/ (batch-vs-corpus dups) and
+  * survivors/ (batch ids with no corpus dup); survivors' band rows are
+  * committed as the next index chunk so the next ingest matches against
+  * them without re-hashing anything committed.
+  *
   * Near-dup modes assume `exact` ran first (the standard pipeline order):
   * the hot-bucket guard deliberately drops identical-text mega-clusters,
   * whose pairs exact dedup surfaces at a groupBy's cost, not a join's.
@@ -61,7 +69,8 @@ object DedupJob {
       spanSep: String = "\\n{2,}", chunkWords: Int = 10,
       vecCol: String = "embedding", minSim: Double = 0.95,
       kClusters: Int = 256, kmeansIters: Int = 2, maxCluster: Int = 4096,
-      smallGraphLimit: Long = 2000000L)
+      smallGraphLimit: Long = 2000000L,
+      corpus: Option[String] = None, indexTable: Option[String] = None)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val docs = spark.read.parquet(a.input)
@@ -146,6 +155,61 @@ object DedupJob {
           maxCluster = a.maxCluster), "pairs")
         Map("pairs" -> n, "hot_buckets" -> write(hotReport(), "hot_buckets")) ++
           clusterOut()
+      case "incremental" =>
+        // daily-ingest shape: --input is the NEW batch, --corpus the
+        // committed corpus text table, --indexTable a SnapshotTable of
+        // (id, band, band_hash) rows — one committed chunk per past ingest.
+        // Bootstrap (no snapshot yet): hash the corpus once into chunk 0.
+        // Then: match the batch via the index (corpus never re-hashed),
+        // write cross-dup pairs + surviving batch ids, and commit the
+        // SURVIVORS' band rows as the next chunk — a crash between write
+        // and commit is cleaned by open()'s uncommitted-dir sweep, so the
+        // index never double-counts a batch (idempotent re-ingest).
+        import graft.table.SnapshotTable
+        val corpusPath = a.corpus.getOrElse(sys.error("--corpus required"))
+        val indexTable = a.indexTable.getOrElse(sys.error("--indexTable required"))
+        val corpus = spark.read.parquet(corpusPath)
+        val committed = SnapshotTable.open(indexTable, totalChunks = 1)
+        if (committed.isEmpty) {
+          Dedup.nearDupIndex(corpus, a.idCol, a.textCol)
+            .write.mode("overwrite")
+            .parquet(SnapshotTable.chunkDir(indexTable, 0))
+          SnapshotTable.commitChunk(indexTable, 0, 1,
+            Map("indexed_docs" -> corpus.count()))
+        }
+        val index = spark.read.option("basePath",
+            java.nio.file.Paths.get(indexTable, "data").toString)
+          .parquet(SnapshotTable.committedDataDirs(indexTable): _*)
+          .select("id", "band", "band_hash")
+        // coverage guard: every indexed id must have its text in --corpus,
+        // or its candidates would silently drop out of the verify join
+        // (false negatives). One skinny distinct-ids anti-join per ingest —
+        // parallel long columns, cheap next to the match itself.
+        val missing = index.select("id").distinct()
+          .join(corpus.select(col(a.idCol).as("id")).distinct(),
+            Seq("id"), "left_anti").count()
+        if (missing > 0) throw new IllegalArgumentException(
+          s"$missing indexed ids are missing from --corpus ($corpusPath): " +
+            "the corpus table must include every previously-ingested " +
+            "survivor (append survivors to it alongside each index commit)")
+        val pairs = Dedup.incrementalNearDup(docs, index, corpus,
+          a.idCol, a.textCol, minJaccard = a.minJaccard,
+          maxBucket = a.maxBucket)
+        val np = write(pairs, "pairs")
+        val survivors = docs.join(
+          spark.read.parquet(s"${a.output}/pairs")
+            .select(col("new_id").as(a.idCol)).distinct(),
+          Seq(a.idCol), "left_anti")
+        val ns = write(survivors.select(col(a.idCol)), "survivors")
+        val snap = SnapshotTable.currentSnapshot(indexTable).get
+        val next = snap.committedChunks.max + 1
+        Dedup.nearDupIndex(survivors, a.idCol, a.textCol)
+          .write.mode("overwrite")
+          .parquet(SnapshotTable.chunkDir(indexTable, next))
+        SnapshotTable.commitChunk(indexTable, next, next + 1,
+          Map("indexed_docs" -> ns))
+        Map("pairs" -> np, "survivors" -> ns,
+          "index_chunks" -> (next + 1).toLong)
       case "spans" =>
         val sp =
           if (a.spanSep == "words")
@@ -181,7 +245,9 @@ object DedupJob {
       kClusters = m.getOrElse("kClusters", "256").toInt,
       kmeansIters = m.getOrElse("kmeansIters", "2").toInt,
       maxCluster = m.getOrElse("maxCluster", "4096").toInt,
-      smallGraphLimit = m.getOrElse("smallGraph", "2000000").toLong)
+      smallGraphLimit = m.getOrElse("smallGraph", "2000000").toLong,
+      corpus = m.get("corpus"),
+      indexTable = m.get("indexTable"))
 
     val builder = SparkSession.builder().appName("graft-dedup")
       .config("spark.sql.adaptive.enabled", "true")

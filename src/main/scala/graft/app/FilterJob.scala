@@ -162,6 +162,15 @@ object FilterJob {
         // but a later run appending a widened decisions row evolves the
         // table for readAligned consumers instead of silently diverging
         chunkSchema = Some(dec.schema.toDDL)
+        // manifest zone maps: min/max of the numeric decision columns,
+        // computed from the just-written files (a column-pruned re-read of
+        // three columns — never a re-run of the decode pipeline) and stored
+        // as a metadata sidecar BEFORE the commit, so prunedDataDirs can
+        // skip whole chunks on dur/ppl-range reads without opening a file
+        SnapshotTable.writeChunkStats(args.output, c,
+          SnapshotTable.chunkStats(
+            spark.read.parquet(SnapshotTable.chunkDir(args.output, c)),
+            Seq("dur_ms", "sr_hz", "ppl_char")))
         // adaptive mode persisted the chunk's features (two scans: cohort
         // stats + decisions); the write action consumed both — release it
         release()

@@ -1056,6 +1056,85 @@ object Dedup {
       .select("cluster", "id_a", "id_b", "sim")
   }
 
+  // ---- incremental near-dup (persisted index; the daily-ingest shape) ------
+
+  /** MinHash band-key index rows for a corpus slice: one skinny
+    * (id, band, band_hash) row per band per doc — the frame a production
+    * pipeline PERSISTS (e.g. one [[graft.table.SnapshotTable]] chunk per
+    * ingest batch) so tomorrow's batch is matched against today's corpus
+    * without re-hashing a single committed document. Cost shape: numBands
+    * rows of (long, int, long) per doc — at 10^12 docs × 16 bands that is
+    * three skinny columns, a rounding error next to re-reading and
+    * re-shingling the corpus text every ingest, which is exactly what a
+    * non-incremental [[nearDupPairs]] over (corpus ∪ batch) would do.
+    * Same signature family as [[nearDupPairs]] (identical `MinHashSig` +
+    * band hashing), so index-vs-batch collisions are bit-identical to the
+    * collisions a full recompute would produce. */
+  def nearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 5, numHashes: Int = 80,
+                   rowsPerBand: Int = 5): DataFrame =
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
+      .select(col("id"),
+        explode(minhashBandKeys(
+          MinHashSig.col(col("txt"), shingleK, numHashes),
+          numHashes, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"))
+
+  /** Match a NEW ingest batch against a persisted corpus band index WITHOUT
+    * re-hashing the corpus — the incremental analog of [[nearDupPairs]].
+    * Returns (new_id, corpus_id, jaccard) cross pairs at J ≥ `minJaccard`;
+    * ids must be globally unique across corpus and batch (they are table
+    * keys). Intra-batch duplicates are a separate (batch-local, cheap)
+    * [[nearDupPairs]] call over `newDocs` alone.
+    *
+    * Recall is IDENTICAL to a full recompute restricted to cross pairs: a
+    * (new, corpus) pair collides on a band in this index join iff it
+    * collides in the full run's self-join — same signatures, same band
+    * keys, same OR-amplification.
+    *
+    * Scale shape: the index is READ, never recomputed; the batch (≪ corpus)
+    * is hashed in one narrow stage; the hot-bucket cap is computed over the
+    * UNION of index and batch band rows (a boilerplate band key must be
+    * dropped whichever side its rows come from); and corpus TEXT is fetched
+    * only for docs appearing in some candidate pair — a broadcastable
+    * left-semi prune on the corpus scan, so the 10^12-row text column never
+    * flows through the signature/estimate/verify stages. */
+  def incrementalNearDup(newDocs: DataFrame, index: DataFrame,
+                         corpus: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 5, numHashes: Int = 80,
+                         rowsPerBand: Int = 5, minJaccard: Double = 0.5,
+                         maxBucket: Int = 0, estHashes: Int = 128): DataFrame = {
+    val newBands = nearDupIndex(newDocs, idCol, textCol, shingleK,
+      numHashes, rowsPerBand)
+    val tagged = index
+      .select(col("id"), col("band"), col("band_hash"), lit(false).as("is_new"))
+      .union(newBands.select(col("id"), col("band"), col("band_hash"),
+        lit(true).as("is_new")))
+    val capped = capBuckets(tagged, Seq("band", "band_hash"), maxBucket)
+    val a = capped.filter(col("is_new"))
+      .select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = capped.filter(!col("is_new"))
+      .select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct()
+    // candidate corpus docs only: semi-join prune BEFORE any text-derived
+    // column is computed (candidate id lists are small — broadcastable)
+    val corpusCands = corpus
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(cands.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
+    val docsForVerify = spread(
+      newDocs.select(col(idCol).as("id"), col(textCol).as("txt")))
+      .union(corpusCands)
+    val pruned = sigEstimateFilter(docsForVerify, "id", "txt", cands,
+      shingleK, minJaccard, estHashes)
+    val sets = docsForVerify.select(col("id"),
+      shingles(col("txt"), shingleK).as("arr"))
+    jaccardVerifyArrays(sets, pruned, minJaccard)
+      .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+        col("jaccard"))
+  }
+
   /** LSH-bucketed approximate top-k neighbors for a query subset — the scale
     * path beside the exact broadcast-the-queries kNN: each query only scores
     * vectors sharing ≥1 LSH band, so the corpus is never broadcast and never

@@ -291,6 +291,82 @@ object SnapshotTable {
       .filter(d => Files.exists(Paths.get(d)))
   }
 
+  // ---- chunk column statistics (Iceberg manifest zone maps) ----------------
+
+  /** Numeric min/max for `cols` over a frame — one map-side-combined
+    * aggregate; call it on the rows just written to a chunk and hand the
+    * result to [[writeChunkStats]]. Columns that are all-null (or absent)
+    * drop out of the map. */
+  def chunkStats(df: org.apache.spark.sql.DataFrame,
+                 cols: Seq[String]): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val row = df.agg(
+      min(col(present.head)).cast("double").as(s"min_${present.head}"),
+      (present.tail.map(c => min(col(c)).cast("double").as(s"min_$c")) ++
+        present.map(c => max(col(c)).cast("double").as(s"max_$c"))): _*
+    ).collect()(0)
+    present.flatMap { c =>
+      val lo = row.getAs[Any](s"min_$c")
+      val hi = row.getAs[Any](s"max_$c")
+      if (lo == null || hi == null) None
+      else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+    }.toMap
+  }
+
+  /** Persist a chunk's column min/max sidecar
+    * (`metadata/stats-chunk=<c>.json`) — the Iceberg manifest column-stats
+    * analog. Written BEFORE the chunk's commit (same discipline as data:
+    * an uncommitted chunk's sidecar is harmless; a committed chunk missing
+    * its sidecar is merely unprunable, never wrong). Stats survive
+    * [[compactChunk]] untouched because compaction preserves the row
+    * multiset, and they are tiny: one file of a few numbers per chunk. */
+  def writeChunkStats(table: String, chunk: Int,
+                      stats: Map[String, (Double, Double)]): Unit = {
+    Files.createDirectories(metaDir(table))
+    val body = stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s""""$c":[$lo,$hi]"""
+    }.mkString("{", ",", "}")
+    val tmp = metaDir(table).resolve(s".stats-chunk=$chunk.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaDir(table).resolve(s"stats-chunk=$chunk.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** A chunk's persisted stats, if a sidecar exists. */
+  def readChunkStats(table: String, chunk: Int): Option[Map[String, (Double, Double)]] = {
+    val f = metaDir(table).resolve(s"stats-chunk=$chunk.json")
+    if (!Files.exists(f)) return None
+    val body = Files.readString(f)
+    val re = """"((?:[^"\\]|\\.)*)"\s*:\s*\[\s*([^,\]]+)\s*,\s*([^\]]+)\s*\]""".r
+    Some(re.findAllMatchIn(body)
+      .map(m => m.group(1) -> (m.group(2).trim.toDouble, m.group(3).trim.toDouble))
+      .toMap)
+  }
+
+  /** Chunk dirs of the current snapshot whose recorded [min,max] for
+    * `colName` intersects [lo, hi] — manifest-level file skipping, decided
+    * from a few bytes of metadata BEFORE Spark ever plans a scan (parquet
+    * row-group stats prune only after every file is opened; at 10^12-clip
+    * scale with thousands of chunks the open cost alone dominates a
+    * selective read). A chunk with no sidecar, or no stats for `colName`,
+    * is always returned: a zone map may only skip what it can PROVE
+    * non-matching. Ranges are inclusive on both ends. */
+  def prunedDataDirs(table: String, colName: String,
+                     lo: Double, hi: Double): Seq[String] = {
+    require(lo <= hi, s"inverted range [$lo, $hi]")
+    currentSnapshot(table).toSeq.flatMap(_.committedChunks.toSeq.sorted)
+      .filter { c =>
+        readChunkStats(table, c).flatMap(_.get(colName)) match {
+          case Some((cLo, cHi)) => cHi >= lo && cLo <= hi
+          case None => true
+        }
+      }
+      .map(chunkDir(table, _))
+      .filter(d => Files.exists(Paths.get(d)))
+  }
+
   // ---- table maintenance (Iceberg expire_snapshots / rewrite_data_files) --
 
   /** Retention dirs holding a chunk's pre-compaction files, with the

@@ -1412,4 +1412,77 @@ class DedupSpec extends AnyFunSuite {
     assert(fluent.nonEmpty && fluent.forall(_ < got(4L)._2),
       s"alien doc must be the outlier: alien=${got(4L)._2} fluent=$fluent")
   }
+
+  test("incrementalNearDup equals a full recompute restricted to cross pairs") {
+    val corpus = docs() // ids 1..5
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today zz"), // near-dup of 1/5
+      (102L, "entirely novel text about incremental minhash band indexes in spark"),
+      (103L, "completely different content about spark catalyst optimizer internals") // exact dup of 3
+    ).toDF("doc_id", "text")
+    val index = Dedup.nearDupIndex(corpus, "doc_id", "text")
+    val inc = Dedup.incrementalNearDup(batch, index, corpus, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+      .toSet
+    // full recompute over the union; cross pairs have id_a = corpus (< 100)
+    val full = Dedup.nearDupPairs(corpus.union(batch), "doc_id", "text")
+      .filter(col("id_a") < 100L && col("id_b") >= 100L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), math.round(r.getDouble(2) * 1e4)))
+      .toSet
+    assert(inc == full, s"incremental $inc != full-recompute cross pairs $full")
+    assert(inc.exists(p => p._1 == 103L && p._2 == 3L), "exact dup found via index")
+    assert(inc.exists(p => p._1 == 101L && p._2 == 1L), "near dup found via index")
+    assert(!inc.exists(_._1 == 102L), "novel doc stays clean")
+  }
+
+  test("DedupJob incremental: index bootstraps, matches, and grows across ingests") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val corpus1 = s"$tmp/corpus1"; val idx = s"$tmp/index"
+    docs().write.parquet(corpus1)
+    Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today zz"),
+      (102L, "entirely novel text about incremental minhash band indexes in spark")
+    ).toDF("doc_id", "text").write.parquet(s"$tmp/b1")
+    val r1 = graft.app.DedupJob.run(spark, graft.app.DedupJob.Args(
+      input = s"$tmp/b1", output = s"$tmp/o1", mode = "incremental",
+      corpus = Some(corpus1), indexTable = Some(idx)))
+    assert(r1("pairs") >= 1L, "batch-1 planted dup must match the corpus")
+    assert(r1("survivors") == 1L, "only the novel doc survives batch 1")
+    assert(r1("index_chunks") == 2L, "bootstrap chunk + batch-1 chunk")
+
+    // ingest 2: a near-dup of batch-1's SURVIVOR — findable only because the
+    // index grew; the corpus table (per the job contract) now includes past
+    // survivors, exactly as the main table a filter pipeline appends to
+    val corpus2 = s"$tmp/corpus2"
+    spark.read.parquet(corpus1)
+      .union(Seq((102L,
+        "entirely novel text about incremental minhash band indexes in spark"))
+        .toDF("doc_id", "text"))
+      .write.parquet(corpus2)
+    Seq(
+      (201L, "entirely novel text about incremental minhash band indexes in spark !!"),
+      (202L, "yet another unrelated piece regarding gopher quality heuristics")
+    ).toDF("doc_id", "text").write.parquet(s"$tmp/b2")
+    val r2 = graft.app.DedupJob.run(spark, graft.app.DedupJob.Args(
+      input = s"$tmp/b2", output = s"$tmp/o2", mode = "incremental",
+      corpus = Some(corpus2), indexTable = Some(idx)))
+    val p2 = spark.read.parquet(s"$tmp/o2/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2.contains((201L, 102L)),
+      s"batch-2 dup of a batch-1 survivor must match via the grown index: $p2")
+    assert(r2("survivors") == 1L && r2("index_chunks") == 3L)
+
+    // the coverage guard: an index id absent from --corpus must fail loudly,
+    // not silently verify-drop its candidates
+    Seq((301L, "any text at all")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/b3")
+    val e = intercept[IllegalArgumentException] {
+      graft.app.DedupJob.run(spark, graft.app.DedupJob.Args(
+        input = s"$tmp/b3", output = s"$tmp/o3", mode = "incremental",
+        corpus = Some(corpus1), indexTable = Some(idx))) // stale corpus1
+    }
+    assert(e.getMessage.contains("missing from --corpus"))
+  }
 }

@@ -337,4 +337,70 @@ class TableSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || !plan.contains("keep#"),
       s"expected partition pruning on keep; plan:\n$plan")
   }
+
+  test("zone maps: chunk stats sidecars prune whole chunks, never results") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = tmpDir("graft-zonemap")
+    SnapshotTable.open(dir, 3)
+    // three chunks with disjoint id ranges — the time/id-clustered ingest
+    // shape where manifest stats pay off
+    Seq((0, 0L, 99L), (1, 100L, 199L), (2, 200L, 299L)).foreach {
+      case (c, lo, hi) =>
+        val df = (lo to hi).map(i => (i, s"row-$i")).toDF("id", "payload")
+        df.write.mode("overwrite").parquet(SnapshotTable.chunkDir(dir, c))
+        SnapshotTable.writeChunkStats(dir, c,
+          SnapshotTable.chunkStats(df, Seq("id", "absent_col")))
+        SnapshotTable.commitChunk(dir, c, 3, Map.empty)
+    }
+    // round-trip
+    assert(SnapshotTable.readChunkStats(dir, 1).get("id") == (100.0, 199.0))
+    assert(!SnapshotTable.readChunkStats(dir, 1).get.contains("absent_col"))
+    // a point-range read proves exactly one chunk survives pruning
+    val pruned = SnapshotTable.prunedDataDirs(dir, "id", 150, 160)
+    assert(pruned == Seq(SnapshotTable.chunkDir(dir, 1)), pruned.toString)
+    // pruned read + residual filter ≡ full read + filter (never drops rows)
+    val got = spark.read.option("basePath", Paths.get(dir, "data").toString)
+      .parquet(pruned: _*).filter(col("id").between(150, 160))
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(150L to 160L))
+    // a stat-less chunk can never be skipped
+    Files.deleteIfExists(Paths.get(dir, "metadata", "stats-chunk=0.json"))
+    val pruned2 = SnapshotTable.prunedDataDirs(dir, "id", 150, 160)
+    assert(pruned2.toSet ==
+      Set(SnapshotTable.chunkDir(dir, 0), SnapshotTable.chunkDir(dir, 1)))
+    // an unknown column prunes nothing
+    assert(SnapshotTable.prunedDataDirs(dir, "nope", 0, 1).size == 3)
+  }
+
+  test("FilterJob records dur/ppl zone maps for every committed chunk") {
+    val spark = SparkTestBase.spark
+    val in = tmpDir("graft-zm-in")
+    val out = tmpDir("graft-zm-out") + "/table"
+    GenMain.generate(spark, in, ClipGen.Params(200, seed = 11, maxDurMs = 2000),
+      files = 4)
+    FilterJob.run(spark, FilterJob.JobArgs(in, out, chunks = 2, saltBuckets = 4))
+    val snap = SnapshotTable.currentSnapshot(out).get
+    assert(snap.committedChunks == Set(0, 1))
+    snap.committedChunks.foreach { c =>
+      val st = SnapshotTable.readChunkStats(out, c)
+        .getOrElse(fail(s"chunk $c missing stats sidecar"))
+      assert(st.contains("dur_ms") && st.contains("sr_hz"),
+        s"chunk $c stats: $st")
+      val (lo, hi) = st("dur_ms")
+      assert(lo >= 0 && hi >= lo, s"chunk $c dur_ms range ($lo, $hi)")
+    }
+    // the recorded ranges must COVER the actual data (zone-map soundness)
+    val dec = spark.read.option("basePath", Paths.get(out, "data").toString)
+      .parquet(SnapshotTable.committedDataDirs(out): _*)
+    val mm = dec.agg(
+      org.apache.spark.sql.functions.min(col("dur_ms")).cast("double"),
+      org.apache.spark.sql.functions.max(col("dur_ms")).cast("double"))
+      .collect()(0)
+    val allLo = snap.committedChunks.map(c =>
+      SnapshotTable.readChunkStats(out, c).get("dur_ms")._1).min
+    val allHi = snap.committedChunks.map(c =>
+      SnapshotTable.readChunkStats(out, c).get("dur_ms")._2).max
+    assert(allLo <= mm.getDouble(0) && allHi >= mm.getDouble(1))
+  }
 }
