@@ -1008,6 +1008,32 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")),
 
+    // ---- product quantization (memory-bound ANN; Jégou 2011) -------------
+    // per-subspace deterministic k-means codebooks: every vector compresses
+    // to m=4 codes of 3 bits. The ITERATIVE fit runs 4× (one per 16-dim
+    // slice) and DuckDB replays ALL FOUR two-round Lloyd chains from the
+    // same md5-smallest init — every vector must land on the same code in
+    // every subspace
+    "q_emb_pq" -> ((s, dir) =>
+      graft.pipeline.Dedup.pqCodes(s.read.parquet(t(dir, "embeddings")),
+          "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("sub"), col("code"))
+        .orderBy("vec_id", "sub")),
+
+    // ---- ADC top-k over PQ codes (the compressed-corpus ANN read path) ---
+    // asymmetric distance: exact query vector vs quantized corpus — the
+    // corpus scan reads (id, 4 codes) instead of 64 doubles. The output is
+    // the EXACT top-k of the quantized distance (rank pinned on
+    // (round(dist²,4), neighbor_id)), which DuckDB replays end to end:
+    // codebooks → codes → lookup distances → ranking. Recall vs true kNN
+    // is a separate test gate (approximation quality, not correctness).
+    "q_emb_pq_knn" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      graft.pipeline.Dedup.pqKnn(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", dim = 64, m = 4, k = 8, iters = 2, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- SemDeDup semantic near-dup (cluster → within-cluster cosine) ----
     // the published SemDeDup shape: k-means buckets turn all-pairs cosine
     // into k bucket-local self-joins; exact cosine ≥ 0.4 verifies inside a
@@ -2096,6 +2122,46 @@ object SparkEntry {
         |SELECT dim, n, round(sx / n, 6) AS mean,
         |  round((sxx - sx * sx / n) / (n - 1), 6) AS variance
         |FROM s ORDER BY dim""".stripMargin,
+    // DuckDB replays all four per-subspace two-round Lloyd chains (the
+    // kmeansCte pattern instantiated per 16-dim slice) and re-derives every
+    // vector's code in every subspace
+    "q_emb_pq" ->
+      ("WITH " + (0 until 4).map(pqSubCte).mkString(",\n") + """
+        |SELECT vec_id, sub, code FROM (
+        |  SELECT id AS vec_id, 0 AS sub, cid AS code FROM af_0
+        |  UNION ALL SELECT id, 1, cid FROM af_1
+        |  UNION ALL SELECT id, 2, cid FROM af_2
+        |  UNION ALL SELECT id, 3, cid FROM af_3)
+        |ORDER BY vec_id, sub""".stripMargin),
+    // full ADC replay: same four codebook chains, then per-(query, corpus)
+    // distance = Σ_sub ‖q_sub − codebook[code_sub]‖², ranked on the same
+    // (round(dist²,4), neighbor_id) pin the engine uses
+    "q_emb_pq_knn" ->
+      ("WITH " + (0 until 4).map(pqSubCte).mkString(",\n") + """,
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 20),
+        |d AS (
+        |  SELECT q.query_id, x0.id AS neighbor_id,
+        |    round(pow(list_distance(q.qv[1:16],  cb0.cv), 2)
+        |        + pow(list_distance(q.qv[17:32], cb1.cv), 2)
+        |        + pow(list_distance(q.qv[33:48], cb2.cv), 2)
+        |        + pow(list_distance(q.qv[49:64], cb3.cv), 2), 4) AS dist2
+        |  FROM q, af_0 x0
+        |  JOIN af_1 x1 ON x1.id = x0.id
+        |  JOIN af_2 x2 ON x2.id = x0.id
+        |  JOIN af_3 x3 ON x3.id = x0.id
+        |  JOIN c2_0 cb0 ON cb0.cid = x0.cid
+        |  JOIN c2_1 cb1 ON cb1.cid = x1.cid
+        |  JOIN c2_2 cb2 ON cb2.cid = x2.cid
+        |  JOIN c2_3 cb3 ON cb3.cid = x3.cid
+        |  WHERE x0.id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist2, neighbor_id) AS rank
+        |  FROM d)
+        |SELECT query_id, rank, neighbor_id, dist2 FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     "q_emb_knn" -> knnOracleSql,
     // ANN paths at recall-1 parameters (64×1 hyperplane banding; probe-all
     // IVF) — structurally equal to exact top-5, so the exact oracle applies
@@ -2216,6 +2282,63 @@ object SparkEntry {
 
   /** Exact cosine top-5 ground truth, shared by the exact kNN query and the
     * two ANN queries at their recall-1 driver parameterizations. */
+  /** One subspace's replay of the PQ codebook fit: the [[kmeansCte]] chain
+    * instantiated over the 16-dim slice `embedding[16s+1 : 16s+16]`, CTE
+    * names suffixed `_s`. Same pinned semantics as the full-dim chain:
+    * md5-smallest-8 init (the SAME ids in every subspace — init is
+    * id-ordered), two Lloyd rounds with DECIMAL sums and one 6-dp round
+    * per mean, assignment ties → smaller code, empty code keeps its
+    * centroid. `af_s(id, cid)` is the final code; `c2_s(cid, cv)` the
+    * final codebook. */
+  private def pqSubCte(s: Int): String = {
+    val w = 16
+    val lo = s * w + 1
+    val hi = (s + 1) * w
+    s"""e_$s AS (
+       |  SELECT vec_id AS id, (CAST(embedding AS DOUBLE[]))[$lo:$hi] AS v
+       |  FROM embeddings),
+       |c0_$s AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid,
+       |         v AS cv
+       |  FROM e_$s ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+       |a1_$s AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |    FROM e_$s e CROSS JOIN c0_$s AS c) WHERE rn = 1),
+       |u1_$s AS (
+       |  SELECT cid, dim, round(CAST(sm AS DOUBLE) / n, 6) AS m FROM (
+       |    SELECT a.cid, d.dim,
+       |      sum(CAST(a.v[d.dim + 1] AS DECIMAL(28,12))) AS sm, count(*) AS n
+       |    FROM a1_$s a CROSS JOIN range($w) AS d(dim) GROUP BY 1, 2)),
+       |c1_$s AS (
+       |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM c0_$s p
+       |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS cv
+       |             FROM u1_$s GROUP BY cid) u USING (cid)),
+       |a2_$s AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |    FROM e_$s e CROSS JOIN c1_$s AS c) WHERE rn = 1),
+       |u2_$s AS (
+       |  SELECT cid, dim, round(CAST(sm AS DOUBLE) / n, 6) AS m FROM (
+       |    SELECT a.cid, d.dim,
+       |      sum(CAST(a.v[d.dim + 1] AS DECIMAL(28,12))) AS sm, count(*) AS n
+       |    FROM a2_$s a CROSS JOIN range($w) AS d(dim) GROUP BY 1, 2)),
+       |c2_$s AS (
+       |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM c1_$s p
+       |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS cv
+       |             FROM u2_$s GROUP BY cid) u USING (cid)),
+       |af_$s AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.id, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+       |    FROM e_$s e CROSS JOIN c2_$s AS c) WHERE rn = 1)""".stripMargin
+  }
+
   private val knnOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
       |sims AS (

@@ -1056,6 +1056,95 @@ object Dedup {
       .select("cluster", "id_a", "id_b", "sim")
   }
 
+  // ---- product quantization (memory-bound ANN at corpus scale) -------------
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): split
+    * the `dim`-dimensional space into `m` contiguous subspaces of dim/m
+    * and run the fully-pinned [[kmeansFit]] independently on each slice,
+    * so the codebooks inherit its cross-engine determinism (md5-smallest
+    * init — the same k ids in every subspace — DECIMAL sums, 6-dp rounded
+    * means, ties → smaller code). Returns codebooks(sub)(code)(d): m
+    * tables of k centroids, m·k·(dim/m) = k·dim doubles total —
+    * KB-sized plan literals regardless of corpus size. */
+  def pqFit(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+            m: Int = 4, k: Int = 8, iters: Int = 2): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val w = dim / m
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    (0 until m).map { s =>
+      kmeansFit(emb.select(col(idCol).as("id"),
+        slice(v, s * w + 1, w).as("v")), "id", "v", k, iters)
+    }.toArray
+  }
+
+  /** (id, sub, code) PQ code assignment: each vector compresses to m small
+    * codes (m·log₂k bits — a 64-dim double vector becomes 12 bits at
+    * m=4, k=8), assigned by m codebook-literal `nearestCentroid`
+    * expressions in ONE narrow codegen'd projection — no shuffle, no UDF.
+    * The code table (plus the KB codebooks) REPLACES the float corpus in
+    * the ANN hot path. Split from [[pqFit]] so fit can run on a sample
+    * while everything is encoded. */
+  def pqCodesWith(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val w = dim / m
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    emb.select(col(idCol).as("id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            nearestCentroid(slice(v, s * w + 1, w), books(s)).as("code"))): _*))
+          .as("c"))
+      .select(col("id"), col("c.sub").as("sub"), col("c.code").as("code"))
+  }
+
+  /** Fit + encode in one call (the small-corpus convenience path). */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame =
+    pqCodesWith(emb, idCol, vecCol, dim, pqFit(emb, idCol, vecCol, dim, m, k, iters))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries keep exact
+    * vectors; the corpus is scanned as (id, m codes) with the codebooks as
+    * plan literals — the PQ memory shape: at 10^12 vectors the scan reads
+    * a few bits per row instead of dim floats, broadcast-joined against
+    * the (small) query set exactly like the exact-kNN path.
+    * dist²(q, x) = Σ_sub ‖q_sub − books[sub][code_sub(x)]‖², all codegen'd
+    * `element_at`/`zip_with`/`aggregate` expressions.
+    *
+    * Exactness contract: ADC is an approximate DISTANCE — the result is
+    * the exact top-k of the quantized distance (which a replaying oracle
+    * reproduces), not of the true distance (recall vs exact kNN is gated
+    * in tests instead). Identical-code rows tie by construction, and
+    * cross-engine float noise is pinned the same way: rank on
+    * (round(dist², 4), neighbor_id). */
+  def pqKnn(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+            dim: Int, m: Int = 4, k: Int = 8, iters: Int = 2,
+            topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqFit(emb, idCol, vecCol, dim, m, k, iters)
+    val w = dim / m
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val codeArr = emb.select(col(idCol).as("neighbor_id"),
+      array((0 until m).map(s =>
+        nearestCentroid(slice(v, s * w + 1, w), books(s))): _*).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), v.as("qv"))
+    val dist2 = (0 until m).map { s =>
+      val qs = slice(col("qv"), s * w + 1, w)
+      val cv = element_at(
+        typedlit(books(s).map(_.toSeq).toSeq), col("codes").getItem(s) + 1)
+      aggregate(zip_with(qs, cv, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("dist2"), col("neighbor_id"))
+    codeArr.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist2", round(dist2, 4))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "dist2")
+  }
+
   // ---- incremental near-dup (persisted index; the daily-ingest shape) ------
 
   /** MinHash band-key index rows for a corpus slice: one skinny

@@ -1413,6 +1413,35 @@ class DedupSpec extends AnyFunSuite {
       s"alien doc must be the outlier: alien=${got(4L)._2} fluent=$fluent")
   }
 
+  test("PQ: codes valid + deterministic; ADC kNN preserves cluster structure") {
+    val dim = 8
+    // 3 well-separated clusters (offset 10 per dim) with small intra spread
+    def vec(c: Int, i: Int): Array[Double] =
+      Array.tabulate(dim)(d => c * 10.0 + ((i * 7 + d * 3) % 5) * 0.1)
+    val rows = for (c <- 0 until 3; i <- 0 until 20) yield (c * 100L + i, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val codes = Dedup.pqCodes(emb, "vec_id", "embedding", dim, m = 2, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.length == 60 * 2, "one code per (vector, subspace)")
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 4), "codes in [0, k)")
+    // deterministic: a recompute lands every vector on the same codes
+    val again = Dedup.pqCodes(emb, "vec_id", "embedding", dim, m = 2, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.toSet == again.toSet, "pqCodes must be a pure function of data")
+    // within a cluster, quantized vectors collapse toward shared codes, so
+    // ADC top-k must stay inside the query's true cluster (the structure a
+    // coarse 2×4-code quantizer is obliged to preserve at separation 10σ)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val approx = Dedup.pqKnn(emb, queries, "vec_id", "embedding", dim,
+        m = 2, k = 4, iters = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(approx.length == 15, "3 queries × top-5")
+    approx.foreach { case (qid, nid) =>
+      assert(nid / 100 == qid / 100,
+        s"ADC neighbor $nid left query $qid's cluster")
+    }
+  }
+
   test("incrementalNearDup equals a full recompute restricted to cross pairs") {
     val corpus = docs() // ids 1..5
     val batch = Seq(

@@ -69,6 +69,26 @@ class PushdownSpec extends AnyFunSuite {
       "unreferenced column must not be decoded")
   }
 
+  test("PQ encode is one narrow stage: codebooks ride as literals, no shuffle") {
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(8)((i % 13).toFloat / 13f), s"pad$i"))
+      .toDF("vec_id", "embedding", "extra")
+    val d = java.nio.file.Files.createTempDirectory("graft_push_pq").toString
+    emb.write.mode("overwrite").parquet(d)
+    val books = graft.pipeline.Dedup.pqFit(
+      spark.read.parquet(d), "vec_id", "embedding", dim = 8, m = 2, k = 4,
+      iters = 1)
+    val codes = graft.pipeline.Dedup.pqCodesWith(
+      spark.read.parquet(d), "vec_id", "embedding", dim = 8, books)
+    codes.collect()
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(books.length == 2 && books.forall(_.length == 4))
+    assert(!plan.contains("Exchange"),
+      s"code assignment is a projection — no shuffle:\n$plan")
+    assert(!plan.contains("extra"),
+      "unreferenced column must not be decoded")
+  }
+
   test("rankBuckets never sorts the corpus — the window runs over the aggregate") {
     // the CCNet bucketing must plan its cumulative window ABOVE the
     // per-(stratum, score) aggregate: the only sort in the plan is over the
