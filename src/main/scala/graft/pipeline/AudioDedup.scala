@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.codec.Codecs
+import graft.model.ClipRow
+import graft.rules.Heuristics
+
+/** Segment-level audio deduplication — the audio analog of [[Spans]]: find
+  * fixed-length windows of audio REPEATED ACROSS clips (injected jingles,
+  * ad beds, ringtones, hold music, shared intros) that whole-clip
+  * fingerprinting structurally misses, exactly as document-level Jaccard
+  * misses a duplicated paragraph.
+  *
+  * Scale shape mirrors the rest of the engine: decode + per-window
+  * fingerprinting is ONE narrow typed flatMap (the waveform never crosses a
+  * shuffle — only (clip_id, win_idx, fp) longs travel, [[Spans]]' exact
+  * contract); candidate pairs come from the same capped multi-probe Hamming
+  * banding as clip-level audio dedup (`Dedup.hamming64Pairs`), so the
+  * all-pairs blowup never materializes.
+  *
+  * Detection is alignment-sensitive at `hopMs` granularity: a shared
+  * segment is found when both copies start within the same window phase —
+  * `hopMs` < `windowMs` (default half-overlap) bounds the worst-case
+  * misalignment at windowMs−hopMs. Reference analog: the repeated-artifact
+  * (line/stamp) removal family recast to 1-D
+  * (`/root/reference/Backend/utils/image_processing.py:817-871`). */
+object AudioDedup {
+
+  /** One window's acoustic fingerprint. `n_wins` rides along so per-clip
+    * masks need no second count pass. */
+  final case class WinFp(clip_id: String, win_idx: Int, n_wins: Int, fp: Long)
+
+  private def typed(clips: DataFrame): Dataset[ClipRow] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+      .as[ClipRow]
+  }
+
+  /** Per-window 64-bit acoustic fingerprints: decode → fixed `windowMs`
+    * windows every `hopMs` → [[Heuristics.audioFingerprint]] per window.
+    * Short tails (< windowMs) are skipped — a partial window fingerprints
+    * differently from the same audio inside a full window, which would
+    * only add noise pairs. Undecodable clips emit nothing (decode errors
+    * are the filter pass's job). */
+  def windowFingerprints(clips: DataFrame, windowMs: Int = 500,
+                         hopMs: Int = 250): Dataset[WinFp] = {
+    require(windowMs > 0 && hopMs > 0 && hopMs <= windowMs,
+      s"need 0 < hopMs <= windowMs, got window=$windowMs hop=$hopMs")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    typed(clips).flatMap { c =>
+      Codecs.decode(c.codec, c.bytes).toOption.toSeq.flatMap { pcm =>
+        val win = math.max(1, c.sr_hz * windowMs / 1000)
+        val hop = math.max(1, c.sr_hz * hopMs / 1000)
+        val n = if (pcm.length < win) 0 else (pcm.length - win) / hop + 1
+        (0 until n).map { i =>
+          WinFp(c.clip_id, i, n,
+            Heuristics.audioFingerprint(
+              java.util.Arrays.copyOfRange(pcm, i * hop, i * hop + win)))
+        }
+      }
+    }
+  }
+
+  /** Cross-clip repeated-segment pairs over a window-fingerprint frame:
+    * the capped multi-probe Hamming banding applied to (clip, window) keys,
+    * same-clip matches excluded (intra-clip repetition is the H2/H7 rules'
+    * business). Returns (clip_a, win_a, clip_b, win_b, hamming). */
+  def segmentPairs(winFps: DataFrame, maxHamming: Int = 3,
+                   numBands: Int = 4, probeBits: Int = 0,
+                   maxBucket: Int = 0): DataFrame = {
+    val keyed = winFps.select(
+      concat_ws("#", col("clip_id"), col("win_idx")).as("wid"), col("fp"))
+    Dedup.hamming64Pairs(keyed, "wid", "fp", maxHamming, numBands,
+        probeBits, maxBucket)
+      .select(
+        substring_index(col("id_a"), "#", 1).as("clip_a"),
+        substring_index(col("id_a"), "#", -1).cast("int").as("win_a"),
+        substring_index(col("id_b"), "#", 1).as("clip_b"),
+        substring_index(col("id_b"), "#", -1).cast("int").as("win_b"),
+        col("hamming"))
+      .filter(col("clip_a") =!= col("clip_b"))
+  }
+
+  /** Per-clip duplicate-window mask — the audio analog of
+    * [[Spans.dupMask]]'s '0'/'1' line mask: for every clip, which of its
+    * windows also occur in ANOTHER clip (per `pairs`), as
+    * (clip_id, n_wins, n_dup_wins, dup_mask) with the mask in window
+    * order. The practical artifact: a clip whose mask is mostly '1' is a
+    * re-broadcast; a '1' prefix is a shared intro to trim. */
+  def dupWindowMask(winFps: DataFrame, pairs: DataFrame): DataFrame = {
+    val dupWins = pairs.select(col("clip_a").as("clip_id"),
+        col("win_a").as("win_idx"))
+      .union(pairs.select(col("clip_b").as("clip_id"),
+        col("win_b").as("win_idx")))
+      .distinct()
+      .withColumn("is_dup", lit(1))
+    winFps.select("clip_id", "win_idx", "n_wins")
+      .join(dupWins, Seq("clip_id", "win_idx"), "left")
+      .na.fill(0, Seq("is_dup"))
+      .groupBy("clip_id")
+      .agg(first(col("n_wins")).as("n_wins"),
+        sum(col("is_dup")).cast("int").as("n_dup_wins"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("win_idx"), col("is_dup")))),
+          s => s.getField("is_dup").cast("string")), "").as("dup_mask"))
+  }
+}

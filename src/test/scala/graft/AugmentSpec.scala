@@ -8,9 +8,69 @@ import graft.fixture.ClipGen
 import graft.pipeline.Augment
 
 /** Deterministic audio augmentation: speed/gain perturbation + loudness
-  * normalization (the training-set expansion family). */
+  * normalization (the training-set expansion family) — plus the
+  * segment-level audio dedup that consumes the same decode machinery. */
 class AugmentSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
+
+  test("AudioDedup: shared jingle windows pair across clips; masks mark them") {
+    import spark.implicits._
+    val sr = 8000
+    def s16(x: Double): Short = {
+      val v = math.round(x * 32768.0)
+      (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+    }
+    // amplitude-modulated two-tone jingle (distinct envelope + zcr pattern)
+    def jingle(ms: Int): Array[Short] =
+      Array.tabulate(sr * ms / 1000) { i =>
+        val t = i.toDouble / sr
+        val f = if ((i / (sr / 10)) % 2 == 0) 600.0 else 1800.0
+        s16(0.5 * (0.4 + 0.6 * math.abs(math.sin(2 * math.Pi * 3 * t))) *
+          math.sin(2 * math.Pi * f * t))
+      }
+    def tone(ms: Int, f: Double): Array[Short] =
+      Array.tabulate(sr * ms / 1000)(i =>
+        s16(0.3 * math.sin(2 * math.Pi * f * i / sr)))
+    val j = jingle(600)
+    def clip(id: String, body: Array[Short], codec: String) = {
+      val all = j ++ body
+      val bytes = Codecs.encode(codec, all)
+      (id, bytes, sr, all.length * 1000 / sr, codec, "t")
+    }
+    val noJingle = tone(1200, 440.0)
+    val rows = Seq(
+      clip("a", tone(600, 500.0), "pcm_s16le"),
+      clip("b", tone(600, 2000.0), "ulaw8"), // re-encoded copy of the jingle
+      ("c", Codecs.encode("pcm_s16le", noJingle), sr,
+        noJingle.length * 1000 / sr, "pcm_s16le", "t"))
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val fps = graft.pipeline.AudioDedup
+      .windowFingerprints(rows, windowMs = 200, hopMs = 200).toDF()
+    // window counts: (600+600)/200 = 6 per clip
+    assert(fps.groupBy("clip_id").count().collect()
+      .forall(_.getLong(1) == 6L))
+    val pairs = graft.pipeline.AudioDedup.segmentPairs(fps, maxHamming = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // all three jingle windows pair between a and b despite b's µ-law
+    // re-encode (codec invariance of the fingerprint), aligned index-wise
+    (0 until 3).foreach { w =>
+      assert(pairs.contains(("a", w, "b", w)) || pairs.contains(("b", w, "a", w)),
+        s"jingle window $w must pair across a/b; got ${pairs.toSeq}")
+    }
+    // the distinct content tones never pair, and c stays clean
+    assert(!pairs.exists(p => p._1 == "c" || p._3 == "c"),
+      s"clip c has no shared segment: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 >= 3 && p._4 >= 3),
+      s"content windows must not pair: ${pairs.toSeq}")
+    val masks = graft.pipeline.AudioDedup.dupWindowMask(fps,
+        graft.pipeline.AudioDedup.segmentPairs(fps, maxHamming = 3))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(2), r.getString(3))).toMap
+    assert(masks("a") == (3, "111000"), masks.toString)
+    assert(masks("b") == (3, "111000"), masks.toString)
+    assert(masks("c") == (0, "000000"), masks.toString)
+  }
 
   private def clips(n: Int) = {
     import spark.implicits._
