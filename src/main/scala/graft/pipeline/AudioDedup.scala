@@ -43,10 +43,16 @@ object AudioDedup {
     * windows every `hopMs` → [[Heuristics.audioFingerprint]] per window.
     * Short tails (< windowMs) are skipped — a partial window fingerprints
     * differently from the same audio inside a full window, which would
-    * only add noise pairs. Undecodable clips emit nothing (decode errors
-    * are the filter pass's job). */
+    * only add noise pairs. Near-silent windows (RMS < `minRms`) emit NO
+    * row — the standard content gate of every audio-fingerprint system:
+    * silence and noise-floor windows are shared by unrelated clips by
+    * nature, so indexing them only manufactures meaningless "duplicates"
+    * (they still count in `n_wins`, so masks stay positionally complete —
+    * an ungated window reads '0'). Undecodable clips emit nothing (decode
+    * errors are the filter pass's job). */
   def windowFingerprints(clips: DataFrame, windowMs: Int = 500,
-                         hopMs: Int = 250): Dataset[WinFp] = {
+                         hopMs: Int = 250,
+                         minRms: Double = 0.01): Dataset[WinFp] = {
     require(windowMs > 0 && hopMs > 0 && hopMs <= windowMs,
       s"need 0 < hopMs <= windowMs, got window=$windowMs hop=$hopMs")
     val spark = clips.sparkSession
@@ -56,10 +62,13 @@ object AudioDedup {
         val win = math.max(1, c.sr_hz * windowMs / 1000)
         val hop = math.max(1, c.sr_hz * hopMs / 1000)
         val n = if (pcm.length < win) 0 else (pcm.length - win) / hop + 1
-        (0 until n).map { i =>
-          WinFp(c.clip_id, i, n,
-            Heuristics.audioFingerprint(
-              java.util.Arrays.copyOfRange(pcm, i * hop, i * hop + win)))
+        (0 until n).flatMap { i =>
+          val seg = java.util.Arrays.copyOfRange(pcm, i * hop, i * hop + win)
+          var sq = 0.0
+          var j = 0
+          while (j < seg.length) { sq += seg(j).toDouble * seg(j); j += 1 }
+          if (math.sqrt(sq / seg.length) < minRms) None
+          else Some(WinFp(c.clip_id, i, n, Heuristics.audioFingerprint(seg)))
         }
       }
     }
@@ -98,14 +107,20 @@ object AudioDedup {
         col("win_b").as("win_idx")))
       .distinct()
       .withColumn("is_dup", lit(1))
+    // mask positions come from sequence(0, n_wins-1), NOT from the emitted
+    // fingerprint rows: silence-gated windows have no row but still hold a
+    // (necessarily '0') mask slot. A clip whose every window was gated has
+    // no fingerprint rows at all and therefore no mask row.
     winFps.select("clip_id", "win_idx", "n_wins")
       .join(dupWins, Seq("clip_id", "win_idx"), "left")
       .na.fill(0, Seq("is_dup"))
       .groupBy("clip_id")
       .agg(first(col("n_wins")).as("n_wins"),
         sum(col("is_dup")).cast("int").as("n_dup_wins"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("win_idx"), col("is_dup")))),
-          s => s.getField("is_dup").cast("string")), "").as("dup_mask"))
+        collect_list(when(col("is_dup") === 1, col("win_idx"))).as("dup_idx"))
+      .select(col("clip_id"), col("n_wins"), col("n_dup_wins"),
+        array_join(transform(sequence(lit(0), col("n_wins") - 1),
+          i => when(array_contains(col("dup_idx"), i), "1").otherwise("0")),
+          "").as("dup_mask"))
   }
 }

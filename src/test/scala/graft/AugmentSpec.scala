@@ -37,7 +37,9 @@ class AugmentSpec extends AnyFunSuite {
       val bytes = Codecs.encode(codec, all)
       (id, bytes, sr, all.length * 1000 / sr, codec, "t")
     }
-    val noJingle = tone(1200, 440.0)
+    // c: no jingle, and a trailing 400 ms of silence (exercises the
+    // content gate: silent windows emit no fingerprint row)
+    val noJingle = tone(1200, 440.0) ++ Array.fill(sr * 2 / 5)(0.toShort)
     val rows = Seq(
       clip("a", tone(600, 500.0), "pcm_s16le"),
       clip("b", tone(600, 2000.0), "ulaw8"), // re-encoded copy of the jingle
@@ -46,9 +48,11 @@ class AugmentSpec extends AnyFunSuite {
       .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
     val fps = graft.pipeline.AudioDedup
       .windowFingerprints(rows, windowMs = 200, hopMs = 200).toDF()
-    // window counts: (600+600)/200 = 6 per clip
-    assert(fps.groupBy("clip_id").count().collect()
-      .forall(_.getLong(1) == 6L))
+    // a/b emit (600+600)/200 = 6 windows; c's 2 silent tail windows are
+    // gated out of its 8
+    val nFps = fps.groupBy("clip_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nFps == Map("a" -> 6L, "b" -> 6L, "c" -> 6L), nFps.toString)
     val pairs = graft.pipeline.AudioDedup.segmentPairs(fps, maxHamming = 3)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)))
@@ -69,7 +73,8 @@ class AugmentSpec extends AnyFunSuite {
         (r.getInt(2), r.getString(3))).toMap
     assert(masks("a") == (3, "111000"), masks.toString)
     assert(masks("b") == (3, "111000"), masks.toString)
-    assert(masks("c") == (0, "000000"), masks.toString)
+    // c keeps its full 8-slot mask: the 2 gated (silent) windows hold '0'
+    assert(masks("c") == (0, "00000000"), masks.toString)
   }
 
   private def clips(n: Int) = {
