@@ -31,7 +31,8 @@ object SnapshotTable {
       committedChunks: Set[Int],
       totalChunks: Int,
       counters: Map[String, Long],
-      schema: Option[String] = None
+      schema: Option[String] = None,
+      deleteFiles: Seq[String] = Nil
   )
 
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
@@ -61,6 +62,7 @@ object SnapshotTable {
     // clean partial output of uncommitted chunks (idempotent resume) and
     // tmp dirs of compactions that crashed before their swap
     val dataDir = Paths.get(table, "data")
+    val liveDeletes = referencedDeleteFiles(table)
     Using.resource(Files.list(dataDir)) { stream =>
       stream.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
@@ -68,12 +70,17 @@ object SnapshotTable {
           val id = n.stripPrefix("chunk=").toInt
           if (!committed.contains(id)) deleteRecursively(p)
         } else if (n.startsWith(".compact-tmp-")) deleteRecursively(p)
+        else if (n.startsWith(".delete-") && !liveDeletes.contains(n))
+          // stageDelete crashed between its parquet write and its commit:
+          // no snapshot in the log references the dir, so it never happened
+          deleteRecursively(p)
       }
     }
-    // compaction crash window: old dir already renamed to its retention
-    // name, new dir not yet moved into place — the retained files ARE the
-    // chunk (row-identical by the compaction contract), so restore the
-    // newest retention copy
+    // compaction/purge crash window: old dir already renamed to its
+    // retention name, new dir not yet moved into place — restoring the
+    // newest retention copy restores the still-current snapshot's committed
+    // view exactly (compaction preserves rows; a purge's snapshot was never
+    // committed, and the current one keeps applying its delete files)
     committed.foreach { c =>
       val live = Paths.get(chunkDir(table, c))
       if (!Files.exists(live)) retainedDirs(table, c).sortBy(-_._2)
@@ -123,8 +130,8 @@ object SnapshotTable {
     // schema must be additive over the table's current schema
     val prevSchema = prev.flatMap(_.schema)
     schema.foreach(s => prevSchema.foreach(validateAdditive(_, s)))
-    val snap =
-      Snapshot(id, chunks, totalChunks, mergedCounters, schema.orElse(prevSchema))
+    val snap = Snapshot(id, chunks, totalChunks, mergedCounters,
+      schema.orElse(prevSchema), prev.map(_.deleteFiles).getOrElse(Nil))
     writeSnapshot(table, snap)
     snap
   }
@@ -205,9 +212,14 @@ object SnapshotTable {
     * snapshot are invisible (time-travel reads see the schema of their
     * snapshot, not the current one), and column order is the schema's.
     * Falls back to the files' merged schema when the snapshot predates
-    * schema tracking. */
+    * schema tracking. The snapshot's staged equality deletes
+    * ([[stageDelete]]) are applied (merge-on-read): rows matching a visible
+    * delete file never surface; a snapshot pinned BEFORE a delete still
+    * sees the rows. `applyDeletes = false` exposes the raw physical rows
+    * (maintenance/debug only). */
   def readAligned(spark: org.apache.spark.sql.SparkSession, table: String,
-                  atSnapshot: Option[Long] = None)
+                  atSnapshot: Option[Long] = None,
+                  applyDeletes: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = atSnapshot
@@ -226,7 +238,7 @@ object SnapshotTable {
     val raw = spark.read.option("mergeSchema", "true")
       .option("basePath", Paths.get(table, "data").toString)
       .parquet(dirs: _*)
-    snap.schema match {
+    val aligned = snap.schema match {
       case None => raw
       case Some(ddl) =>
         val target = org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -237,6 +249,8 @@ object SnapshotTable {
           else lit(null).cast(t).as(f.name)
         }: _*)
     }
+    if (applyDeletes) applyDeleteFiles(spark, table, snap, aligned)
+    else aligned
   }
 
   /** Data dirs of the current snapshot (what a reader should scan). */
@@ -289,6 +303,203 @@ object SnapshotTable {
     (to.committedChunks -- from.committedChunks).toSeq.sorted
       .map(chunkDir(table, _))
       .filter(d => Files.exists(Paths.get(d)))
+  }
+
+  // ---- equality deletes (Iceberg merge-on-read delete files) ---------------
+
+  /** Delete-file dirs referenced by ANY snapshot still in the metadata log
+    * (time travel can reach each of them until [[expireSnapshots]] drops
+    * the last referencing version). */
+  private def referencedDeleteFiles(table: String): Set[String] = {
+    val md = metaDir(table)
+    if (!Files.exists(md)) return Set.empty
+    val vRe = """v\d+\.json""".r
+    Using.resource(Files.list(md)) { stream =>
+      stream.iterator().asScala
+        .filter(p => vRe.pattern.matcher(p.getFileName.toString).matches())
+        .flatMap(p => parseSnapshot(Files.readString(p)).deleteFiles)
+        .toSet
+    }
+  }
+
+  /** Stage an equality delete (Iceberg merge-on-read delete file): the
+    * takedown/GDPR path — removing specific clip ids from a 10^12-row table
+    * must not rewrite a single data file on the hot path. The distinct,
+    * non-null keys are written as a parquet delete file
+    * (`data/.delete-v<id>`, single column = `keyCol`) and a new snapshot
+    * commits with the file appended to its visible delete list. Readers
+    * ([[readAligned]]) apply every visible delete file as a broadcast
+    * anti-join; old snapshots keep their shorter delete lists, so a
+    * time-travel read pinned before the delete still sees the rows.
+    * Physical reclamation is [[purgeDeletes]]. A crash between the parquet
+    * write and the snapshot commit leaves an orphan dir that the next
+    * [[open]] sweeps. */
+  def stageDelete(spark: org.apache.spark.sql.SparkSession, table: String,
+                  keyCol: String,
+                  keys: org.apache.spark.sql.DataFrame): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    val prev = currentSnapshot(table).getOrElse(throw new IllegalStateException(
+      s"stageDelete: no current snapshot at $table"))
+    prev.schema.foreach { ddl =>
+      val names = org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames
+      require(names.contains(keyCol),
+        s"stageDelete: key column '$keyCol' is not in the table schema " +
+          s"(${names.mkString(", ")})")
+    }
+    val id = prev.id + 1
+    val name = s".delete-v$id"
+    val dir = Paths.get(table, "data", name)
+    deleteRecursively(dir)
+    val distinct = keys.select(col(keyCol)).na.drop().distinct().persist()
+    val n = distinct.count()
+    require(n > 0, "stageDelete: empty key set (nothing to delete)")
+    distinct.coalesce(1).write.parquet(dir.toString)
+    distinct.unpersist()
+    val snap = prev.copy(id = id,
+      deleteFiles = prev.deleteFiles :+ name,
+      counters = prev.counters +
+        ("delete_keys_staged" ->
+          (prev.counters.getOrElse("delete_keys_staged", 0L) + n)))
+    writeSnapshot(table, snap)
+    snap
+  }
+
+  /** Apply a snapshot's visible delete files to a read: one left-anti join
+    * per delete file, each keyed on the file's own (single) column and cast
+    * to the table column's type. Takedown lists are tiny next to the table,
+    * so the delete side is broadcast — the corpus never shuffles for a
+    * delete. A referenced file that is missing on disk fails loudly: the
+    * snapshot's contract says those rows are gone, and silently returning
+    * them would resurrect deleted data. */
+  private def applyDeleteFiles(spark: org.apache.spark.sql.SparkSession,
+                               table: String, snap: Snapshot,
+                               df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    snap.deleteFiles.foldLeft(df) { (acc, name) =>
+      val dir = Paths.get(table, "data", name)
+      if (!Files.exists(dir)) throw new IllegalStateException(
+        s"delete file $name referenced by snapshot v${snap.id} is missing " +
+          s"from $table/data (expired or corrupted?)")
+      val keys = spark.read.parquet(dir.toString)
+      require(keys.columns.length == 1,
+        s"delete file $name must have exactly one column, " +
+          s"got ${keys.columns.mkString(", ")}")
+      val kc = keys.columns.head
+      require(acc.columns.contains(kc),
+        s"delete key column '$kc' ($name) is absent from the table read")
+      val typed = keys.select(col(kc).cast(acc.schema(kc).dataType).as(kc))
+      acc.join(broadcast(typed), Seq(kc), "left_anti")
+    }
+  }
+
+  /** Physically apply every staged delete (Iceberg
+    * rewrite_data_files-with-deletes / "major compaction"): each committed
+    * chunk is rewritten without the deleted rows — verified per chunk by
+    * expected-row-count AND an order-insensitive content checksum against
+    * the anti-joined frame before the swap — then one snapshot commits with
+    * an empty delete list. Old file sets are retained
+    * (`data/.chunk=<c>.v<id>.old`) and delete files stay on disk until
+    * [[expireSnapshots]] drops the last snapshot referencing them.
+    *
+    * Precondition (loud): every snapshot still in the metadata log must
+    * already see the full current delete list — physically removing rows
+    * that an older retained snapshot can still time-travel to would
+    * silently corrupt that view. Expire history down to the delete-aware
+    * snapshots first (the Iceberg operational discipline: expire, then
+    * reclaim). A crash mid-swap is repaired by [[open]] (the retained dir
+    * restores; the not-yet-committed purge snapshot never existed, and the
+    * still-current snapshot keeps applying its delete files at read). */
+  def purgeDeletes(spark: org.apache.spark.sql.SparkSession,
+                   table: String, targetTasks: Int = 1): Map[String, Long] = {
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no current snapshot at $table"))
+    if (cur.deleteFiles.isEmpty)
+      return Map("chunks_rewritten" -> 0L, "rows_deleted" -> 0L)
+    val wanted = cur.deleteFiles.toSet
+    val vRe = """v(\d+)\.json""".r
+    Using.resource(Files.list(metaDir(table))) { stream =>
+      stream.iterator().asScala.foreach { p =>
+        vRe.findFirstMatchIn(p.getFileName.toString).foreach { _ =>
+          val s = parseSnapshot(Files.readString(p))
+          require(wanted.subsetOf(s.deleteFiles.toSet),
+            s"purgeDeletes: snapshot v${s.id} predates delete file(s) " +
+              s"${(wanted -- s.deleteFiles.toSet).mkString(", ")} — a " +
+              "time-travel read of it would lose rows it still claims; " +
+              "expireSnapshots down to delete-aware versions first")
+        }
+      }
+    }
+    var rewritten = 0L
+    var deleted = 0L
+    cur.committedChunks.toSeq.sorted.foreach { c =>
+      val live = chunkDir(table, c)
+      val tmp = Paths.get(table, "data", s".compact-tmp-chunk=$c")
+      deleteRecursively(tmp)
+      val before = spark.read.option("basePath", live).parquet(live)
+      val expected = applyDeleteFiles(spark, table, cur, before)
+      val partCols = partitionColsOf(live)
+      val writer = (if (partCols.nonEmpty)
+          expected.repartition(math.max(1, targetTasks), partCols.map(
+            org.apache.spark.sql.functions.col): _*)
+        else expected.repartition(math.max(1, targetTasks)))
+        .write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(tmp.toString)
+      val (n0, _) = contentChecksum(before)
+      val (ne, xe) = contentChecksum(expected)
+      val (n1, x1) = contentChecksum(
+        spark.read.option("basePath", tmp.toString).parquet(tmp.toString))
+      if (ne != n1 || xe != x1) {
+        deleteRecursively(tmp)
+        throw new IllegalStateException(
+          s"purge rewrite of $live failed verification: rows $ne→$n1, " +
+            s"checksum $xe→$x1 — rewrite discarded, chunk untouched")
+      }
+      val retained = Paths.get(table, "data", s".chunk=$c.v${cur.id}.old")
+      deleteRecursively(retained)
+      Files.move(Paths.get(live), retained, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
+      rewritten += 1
+      deleted += n0 - ne
+    }
+    val snap = cur.copy(id = cur.id + 1, deleteFiles = Nil,
+      counters = cur.counters +
+        ("delete_rows_purged" ->
+          (cur.counters.getOrElse("delete_rows_purged", 0L) + deleted)))
+    writeSnapshot(table, snap)
+    Map("chunks_rewritten" -> rewritten, "rows_deleted" -> deleted)
+  }
+
+  /** Row count + order-insensitive content checksum of a frame (bit_xor of
+    * xxhash64 over every column, sorted column order) — the multiset
+    * fingerprint maintenance rewrites are verified against. */
+  private def contentChecksum(df: org.apache.spark.sql.DataFrame)
+      : (Long, Long) = {
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    val row = df.select(count(lit(1)), bit_xor(xxhash64(cols: _*))).collect()(0)
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** Partition columns of a Hive-layout chunk dir: the key=value directory
+    * levels between the chunk dir and the data files, walked one branch
+    * down (every branch has the same depth and keys). */
+  private def partitionColsOf(live: String): Seq[String] = {
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    var at = Paths.get(live)
+    var descend = true
+    while (descend) {
+      val kv = Using.resource(Files.list(at))(_.iterator().asScala
+        .find(p => Files.isDirectory(p) &&
+          p.getFileName.toString.contains("=")))
+      kv match {
+        case Some(p) =>
+          keys += p.getFileName.toString.takeWhile(_ != '='); at = p
+        case None => descend = false
+      }
+    }
+    keys.toSeq
   }
 
   // ---- chunk column statistics (Iceberg manifest zone maps) ----------------
@@ -415,6 +626,17 @@ object SnapshotTable {
         deleteRecursively(p)
       }
     }
+    // delete files whose last referencing snapshot was just expired (e.g.
+    // after purgeDeletes emptied the current list) are unreachable now
+    val stillReferenced = referencedDeleteFiles(table)
+    val dataDir = Paths.get(table, "data")
+    if (Files.exists(dataDir)) Using.resource(Files.list(dataDir)) { stream =>
+      stream.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".delete-") && !stillReferenced.contains(n))
+          deleteRecursively(p)
+      }
+    }
     expired
   }
 
@@ -454,24 +676,7 @@ object SnapshotTable {
     }
 
     val before = spark.read.option("basePath", live).parquet(live)
-    // partition columns = the key=value directory levels between the chunk
-    // dir and the data files; walk one branch down (Hive layout keeps every
-    // branch at the same depth with the same keys)
-    val partCols = {
-      val keys = scala.collection.mutable.ArrayBuffer.empty[String]
-      var at = Paths.get(live)
-      var descend = true
-      while (descend) {
-        val kv = Using.resource(Files.list(at))(_.iterator().asScala
-          .find(p => Files.isDirectory(p) &&
-            p.getFileName.toString.contains("=")))
-        kv match {
-          case Some(p) => keys += p.getFileName.toString.takeWhile(_ != '='); at = p
-          case None => descend = false
-        }
-      }
-      keys.toSeq
-    }
+    val partCols = partitionColsOf(live)
     val writer = (if (partCols.nonEmpty)
         before.repartition(math.max(1, targetTasks), partCols.map(col): _*)
       else before.repartition(math.max(1, targetTasks)))
@@ -512,7 +717,11 @@ object SnapshotTable {
       val esc = ddl.replace("\\", "\\\\").replace("\"", "\\\"")
       s""","schema":"$esc""""
     }
-    s"""{"snapshot_id":${s.id},"total_chunks":${s.totalChunks},"committed_chunks":$chunks,"counters":$counters$schema}"""
+    val dels =
+      if (s.deleteFiles.isEmpty) ""
+      else s.deleteFiles.map(d => s""""$d"""")
+        .mkString(""","delete_files":[""", ",", "]")
+    s"""{"snapshot_id":${s.id},"total_chunks":${s.totalChunks},"committed_chunks":$chunks,"counters":$counters$schema$dels}"""
   }
 
   private[table] def parseSnapshot(json: String): Snapshot = {
@@ -538,8 +747,14 @@ object SnapshotTable {
       .findFirstMatchIn(json)
       .map(m => """\\(.)""".r.replaceAllIn(m.group(1),
         mm => java.util.regex.Matcher.quoteReplacement(mm.group(1))))
+    // delete-file names never contain quotes/backslashes (we generate them);
+    // absent field (pre-delete-tracking snapshots) parses as empty
+    val dels = """"delete_files"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(json).map(_.group(1).trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+      .getOrElse(Nil)
     Snapshot(longField("snapshot_id"), arrField("committed_chunks"),
-      longField("total_chunks").toInt, counters, schema)
+      longField("total_chunks").toInt, counters, schema, dels)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
 
@@ -402,5 +403,144 @@ class TableSpec extends AnyFunSuite {
     val allHi = snap.committedChunks.map(c =>
       SnapshotTable.readChunkStats(out, c).get("dur_ms")._2).max
     assert(allLo <= mm.getDouble(0) && allHi >= mm.getDouble(1))
+  }
+
+  test("equality deletes: stage, merge-on-read, time travel, purge, retention") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val in = tmpDir("graft-del-in")
+    val out = tmpDir("graft-del-out") + "/t"
+    GenMain.generate(spark, in, ClipGen.Params(80, seed = 53, maxDurMs = 1200),
+      files = 2)
+    FilterJob.run(spark, FilterJob.JobArgs(in, out, chunks = 2, saltBuckets = 4))
+    val total = SnapshotTable.readAligned(spark, out).count()
+    val ids = SnapshotTable.readAligned(spark, out)
+      .select("clip_id").orderBy("clip_id").limit(3)
+      .collect().map(_.getString(0))
+    val preId = SnapshotTable.currentSnapshot(out).get.id
+
+    // stage a 2-key takedown: the hot path never rewrites a data file
+    val s1 = SnapshotTable.stageDelete(spark, out, "clip_id",
+      ids.take(2).toSeq.toDF("clip_id"))
+    assert(s1.deleteFiles == Seq(s".delete-v${s1.id}"))
+    assert(s1.counters("delete_keys_staged") == 2L)
+    val view = SnapshotTable.readAligned(spark, out)
+    assert(view.count() == total - 2)
+    assert(view.filter(col("clip_id").isin(ids.take(2).toSeq: _*)).count() == 0)
+    // time travel before the delete still sees the rows (merge-on-read)
+    assert(SnapshotTable.readAligned(spark, out, Some(preId)).count() == total)
+    // the physical rows are untouched
+    assert(SnapshotTable.readAligned(spark, out,
+      applyDeletes = false).count() == total)
+
+    // deletes accumulate, and later commits carry them forward: a
+    // compaction (content-preserving) must not resurrect deleted rows
+    val s2 = SnapshotTable.stageDelete(spark, out, "clip_id",
+      Seq(ids(2), ids(2)).toDF("clip_id")) // dup keys collapse
+    assert(s2.deleteFiles.size == 2 &&
+      s2.counters("delete_keys_staged") == 3L)
+    SnapshotTable.compactChunk(spark, out, chunk = 0)
+    assert(SnapshotTable.currentSnapshot(out).get.deleteFiles.size == 2)
+    assert(SnapshotTable.readAligned(spark, out).count() == total - 3)
+
+    // purge refuses while pre-delete snapshots are still time-travelable
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.purgeDeletes(spark, out)
+    }
+    assert(err.getMessage.contains("expireSnapshots"))
+
+    // expire history to delete-aware versions, then reclaim physically
+    SnapshotTable.expireSnapshots(out, keepLast = 1)
+    val res = SnapshotTable.purgeDeletes(spark, out)
+    assert(res("rows_deleted") == 3L && res("chunks_rewritten") == 2L)
+    val cur = SnapshotTable.currentSnapshot(out).get
+    assert(cur.deleteFiles.isEmpty)
+    assert(cur.counters("delete_rows_purged") == 3L)
+    // rows are physically gone now, and the visible view is unchanged
+    assert(SnapshotTable.readAligned(spark, out,
+      applyDeletes = false).count() == total - 3)
+    assert(SnapshotTable.readAligned(spark, out).count() == total - 3)
+    // the delete files survive while the pre-purge snapshot references
+    // them, then expire drops the last reference and the dirs go away
+    assert(Files.list(Paths.get(out, "data")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".delete-")))
+    SnapshotTable.expireSnapshots(out, keepLast = 1)
+    assert(!Files.list(Paths.get(out, "data")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".delete-")))
+    // resume still green over the purged table
+    assert(SnapshotTable.open(out, 2) == Set(0, 1))
+    assert(SnapshotTable.readAligned(spark, out).count() == total - 3)
+  }
+
+  test("stageDelete: orphan from a crash is swept; bad key column rejected") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val in = tmpDir("graft-del2-in")
+    val out = tmpDir("graft-del2-out") + "/t"
+    GenMain.generate(spark, in, ClipGen.Params(40, seed = 59, maxDurMs = 1200),
+      files = 2)
+    FilterJob.run(spark, FilterJob.JobArgs(in, out, chunks = 1, saltBuckets = 4))
+    // crash window: delete parquet written, snapshot never committed —
+    // no v*.json references the dir, so open() treats it as never-happened
+    val orphan = Paths.get(out, "data", ".delete-v99")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-0.parquet"), "junk")
+    SnapshotTable.open(out, 1)
+    assert(!Files.exists(orphan), "orphan staged delete must be swept")
+    // a key column outside the recorded schema fails loudly
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotTable.stageDelete(spark, out, "no_such_col",
+        Seq("x").toDF("no_such_col"))
+    }
+    assert(bad.getMessage.contains("no_such_col"))
+    // an empty key set fails loudly (a takedown that deletes nothing is a
+    // caller bug, not a no-op)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.stageDelete(spark, out, "clip_id",
+        Seq.empty[String].toDF("clip_id"))
+    }
+    // a committed delete whose file was manually removed fails the read
+    val keep = SnapshotTable.readAligned(spark, out)
+      .select("clip_id").limit(1).collect()(0).getString(0)
+    val s = SnapshotTable.stageDelete(spark, out, "clip_id",
+      Seq(keep).toDF("clip_id"))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val st = Files.list(p)
+        try st.iterator().forEachRemaining(rmTree) finally st.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(out, "data", s".delete-v${s.id}"))
+    val gone = intercept[IllegalStateException] {
+      SnapshotTable.readAligned(spark, out).count()
+    }
+    assert(gone.getMessage.contains("missing"))
+  }
+
+  test("TakedownJob: newline id list staged end-to-end, expire+purge path") {
+    val spark = SparkTestBase.spark
+    val in = tmpDir("graft-td-in")
+    val out = tmpDir("graft-td-out") + "/t"
+    GenMain.generate(spark, in, ClipGen.Params(60, seed = 61, maxDurMs = 1200),
+      files = 2)
+    graft.app.FilterJob.run(spark,
+      graft.app.FilterJob.JobArgs(in, out, chunks = 2, saltBuckets = 4))
+    val total = SnapshotTable.readAligned(spark, out).count()
+    val victims = SnapshotTable.readAligned(spark, out)
+      .select("clip_id").orderBy("clip_id").limit(2)
+      .collect().map(_.getString(0))
+    val idsFile = Paths.get(tmpDir("graft-td-ids"), "ids.txt")
+    Files.writeString(idsFile, victims.mkString("", "\n", "\n"))
+
+    val m = graft.app.TakedownJob.run(spark, graft.app.TakedownJob.Args(
+      table = out, idsPath = idsFile.toString, expire = 1, purge = true))
+    assert(m("delete_keys_staged") == 2L && m("rows_deleted") == 2L)
+    val after = SnapshotTable.readAligned(spark, out)
+    assert(after.count() == total - 2)
+    assert(after.filter(col("clip_id").isin(victims.toSeq: _*)).count() == 0)
+    // physically gone too (purge ran)
+    assert(SnapshotTable.readAligned(spark, out,
+      applyDeletes = false).count() == total - 2)
   }
 }
