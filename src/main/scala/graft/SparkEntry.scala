@@ -881,6 +881,24 @@ object SparkEntry {
         .orderBy("source_x", "source_y")
     }),
 
+    // ---- source-level mirror detection ------------------------------------
+    // RefinedWeb-style DOMAIN dedup: Jaccard over each source's UNION of
+    // word-3-gram sets — catches a re-hosted crawl even when re-chunking
+    // means no individual doc pair survives near-dup. Three sources get a
+    // planted mirror (all docs, a 2-word tail appended) with baseline
+    // unrelated-pair overlap ~0.05 on this corpus; threshold 0.5 separates
+    "q_docs_source_mirror" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val mirrored = docs
+        .filter(col("source").isin("src0", "src1", "src2"))
+        .select(concat(lit("mirror_"), col("source")).as("source"),
+          concat(col("text"), lit(" zq end")).as("text"))
+      val all = docs.select(col("source"), col("text")).union(mirrored)
+      graft.pipeline.Dedup.sourceMirrors(all, "source", "text",
+          n = 3, minJaccard = 0.5)
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- best-k per group (quality-based downsampling) -------------------
     // keep the 5 longest docs per source, deterministic tie-break on id —
     // the "N best per domain" selection pass
@@ -2033,6 +2051,34 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tri,
         |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS nll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // source-level mirror detection: the word-3-gram union-Jaccard replay —
+    // same gram builder as q_docs_ngram_freq, grouped by source, with the
+    // same planted mirror construction as the Spark side
+    "q_docs_source_mirror" ->
+      """WITH all_docs AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror_' || source AS source, text || ' zq end' AS text
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |w AS (SELECT source, string_split(text, ' ') AS ws FROM all_docs),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |    array_to_string(ws[CAST(i + 1 AS INTEGER):CAST(i + 3 AS INTEGER)], ' ') AS gram
+        |  FROM (SELECT source, ws,
+        |          unnest(generate_series(0, greatest(len(ws) - 3, 0))) AS i
+        |        FROM w)),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.source = i.src_a
+        |JOIN sz sb ON sb.source = i.src_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+        |ORDER BY src_a, src_b""".stripMargin,
     // cross-source overlap: the q_docs_near_dup exact-Jaccard CTE joined
     // back to sources (planted ids inherit source via doc_id % 100000)
     "q_docs_dup_overlap" ->

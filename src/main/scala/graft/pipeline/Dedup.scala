@@ -1251,4 +1251,107 @@ object Dedup {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  // ---- source/domain-level mirror detection --------------------------------
+
+  /** Distinct word-n-gram set per source, as skinny (src, gram) rows — the
+    * feature frame both mirror tiers read. Word grams, not char shingles:
+    * the char-gram UNION of a whole domain saturates toward the language's
+    * gram inventory (measured ~0.7 baseline Jaccard between UNRELATED
+    * sources on the test corpus at k = 5), while word n-grams keep the
+    * unrelated-source baseline near zero — the feature RefinedWeb-style
+    * domain-level dedup actually separates on. */
+  def sourceGrams(docs: DataFrame, sourceCol: String, textCol: String,
+                  n: Int = 3): DataFrame =
+    docs.select(col(sourceCol).as("src"),
+        explode(TextProfile.ngrams(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** Exact source-level mirror detection — "crawl A is a re-host of crawl
+    * B" at the SOURCE granularity (the doc-pair near-dup family can only
+    * see mirrors whose individual documents pair up; a mirror that
+    * re-chunks or re-orders content pairs no docs but keeps the domain's
+    * gram UNION almost intact). Jaccard over each source's distinct word
+    * n-gram set: one distinct on (src, gram), per-source sizes, and a
+    * gram-bucket-local self-join for intersections — only sources sharing
+    * a gram ever meet, and only (src, src) pairs travel out of it.
+    *
+    * `maxGramSources` (capBuckets on gram) bounds the self-join on corpora
+    * where a stop-gram is shared by every domain (k shared sources emit k²
+    * rows for that gram); a capped gram biases every affected pair's
+    * intersection DOWN by exactly its unit weight — acceptable for a
+    * mirror DETECTOR (mirrors share mostly low-DF grams), but the cap is
+    * off by default so the result is exact. At domain counts where even
+    * the capped join is too wide, use [[sourceMirrorsSketch]]. */
+  def sourceMirrors(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int = 3, minJaccard: Double = 0.5,
+                    maxGramSources: Int = 0): DataFrame = {
+    val sh = sourceGrams(docs, sourceCol, textCol, n)
+    sourceJaccard(sh, capBuckets(sh, Seq("gram"), maxGramSources), minJaccard)
+  }
+
+  /** Shared exact-Jaccard tail: sizes from the FULL gram frame, pairwise
+    * intersections from the (possibly capped / pruned) join frame. */
+  private def sourceJaccard(full: DataFrame, joinFrame: DataFrame,
+                            minJaccard: Double): DataFrame = {
+    val sz = full.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = joinFrame.as("a")
+      .join(joinFrame.as("b"),
+        col("a.gram") === col("b.gram") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val j = col("n_inter").cast(DoubleType) /
+      (col("na") + col("nb") - col("n_inter"))
+    inter
+      .join(sz.select(col("src").as("src_a"), col("n").as("na")), "src_a")
+      .join(sz.select(col("src").as("src_b"), col("n").as("nb")), "src_b")
+      .filter(j >= minJaccard)
+      .select(col("src_a"), col("src_b"), round(j, 4).as("jaccard"))
+  }
+
+  /** Per-position seeds for the union-MinHash remix (deterministic; a
+    * different stream from MinHashSig's so the two sketches never alias). */
+  private val unionSeeds: IndexedSeq[Long] = IndexedSeq.tabulate(512) { i =>
+    graft.fixture.Prng.derive(0x5851F42DL, 0x14057B7EL, i.toLong).nextLong()
+  }
+
+  /** Scale tier of [[sourceMirrors]]: union-MinHash + LSH banding. MinHash
+    * position j of a source's gram UNION is `min` over the source's grams
+    * of remix_j(gram hash) — and min is distributive over union, so the
+    * whole domain's signature is ONE map-side-combinable aggregate over
+    * the skinny (src, gram-hash) frame: numHashes `min` columns, partials
+    * of (src, numHashes longs), no per-doc signatures, no re-aggregation,
+    * no gram self-join. Band keys over the assembled signature pair up
+    * candidate sources ([[lshCandidates]], `maxBucket` hot guard), then
+    * the exact Jaccard verify runs on the gram frame SEMI-JOINED to
+    * candidate sources only — the quadratic tier never sees a
+    * non-candidate domain. Gram identity is xxhash64 of the gram string
+    * inside the sketch (collision odds ~2⁻⁶⁴ per gram pair); the verify
+    * uses the raw gram strings, so the output matches [[sourceMirrors]]
+    * restricted to candidate pairs. */
+  def sourceMirrorsSketch(docs: DataFrame, sourceCol: String, textCol: String,
+                          n: Int = 3, minJaccard: Double = 0.5,
+                          numHashes: Int = 128, rowsPerBand: Int = 4,
+                          maxBucket: Int = 0): DataFrame = {
+    require(numHashes <= unionSeeds.length, s"numHashes $numHashes > 512")
+    val sh = sourceGrams(docs, sourceCol, textCol, n)
+    val hashed = sh.select(col("src"), xxhash64(col("gram")).as("h"))
+    val mins = (0 until numHashes).map(j =>
+      min(xxhash64(col("h"), lit(unionSeeds(j)))).as(s"h$j"))
+    val sig = hashed.groupBy("src").agg(mins.head, mins.tail: _*)
+      .select(col("src").as("id"),
+        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+    val bands = sig.select(col("id"),
+        explode(minhashBandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"))
+    val cands = lshCandidates(bands, maxBucket)
+    val candSrcs = cands.select(col("id_a").as("src"))
+      .union(cands.select(col("id_b").as("src"))).distinct()
+    // candidate sources number ≤ 2·|pairs| — broadcast the prune
+    val pruned = sh.join(broadcast(candSrcs), Seq("src"), "left_semi")
+    sourceJaccard(pruned, pruned, minJaccard)
+      .join(cands.withColumnRenamed("id_a", "src_a")
+        .withColumnRenamed("id_b", "src_b"), Seq("src_a", "src_b"), "left_semi")
+  }
 }

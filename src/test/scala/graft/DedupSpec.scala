@@ -1514,4 +1514,39 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("missing from --corpus"))
   }
+
+  test("sourceMirrors: a re-chunked mirror domain pairs; unrelated do not; " +
+       "sketch tier equals the exact tier") {
+    // mirror_a re-hosts source a's CONTENT but re-chunks it: the two docs
+    // are split differently, so no doc-level near-dup pair exists — yet
+    // the domain gram unions match. b shares vocabulary only.
+    val rows = Seq(
+      ("a", "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+      ("a", "kilo lima mike november oscar papa quebec romeo sierra tango"),
+      ("mirror_a", "alpha bravo charlie delta echo foxtrot golf hotel " +
+        "india juliett kilo lima mike november oscar papa quebec romeo sierra tango"),
+      ("b", "tango sierra romeo quebec papa oscar november mike lima kilo"),
+      ("b", "juliett india hotel golf foxtrot echo delta charlie bravo alpha")
+    ).toDF("source", "text")
+    val exact = Dedup.sourceMirrors(rows, "source", "text",
+      n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(exact.map(p => (p._1, p._2)).toSet == Set(("a", "mirror_a")),
+      s"exact pairs: ${exact.mkString(", ")}")
+    // re-chunking splices one boundary trigram pair into the mirror
+    // ("sierra tango" ~ "juliett kilo" junction) — jaccard stays near 1
+    assert(exact.head._3 > 0.85 && exact.head._3 <= 1.0)
+    // doc-level near-dup sees NOTHING here (the re-chunk defeats it)
+    val withIds = rows.withColumn("id", monotonically_increasing_id())
+    assert(Dedup.nearDupPairs(withIds, "id", "text", minJaccard = 0.5)
+      .count() == 0)
+
+    // the sketch tier (union-minhash banding + exact verify on candidates)
+    // returns the same rows at recall-safe params
+    val sk = Dedup.sourceMirrorsSketch(rows, "source", "text",
+      n = 3, minJaccard = 0.5, numHashes = 128, rowsPerBand = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(sk.toSet == exact.toSet, s"sketch ${sk.mkString(",")} vs " +
+      s"exact ${exact.mkString(",")}")
+  }
 }
