@@ -123,4 +123,71 @@ object AudioDedup {
           i => when(array_contains(col("dup_idx"), i), "1").otherwise("0")),
           "").as("dup_mask"))
   }
+
+  /** Query-by-audio-snippet: which corpus clips CONTAIN a query clip's
+    * audio (the "find every clip carrying this jingle / ad bed / leaked
+    * track" retrieval — the asymmetric cousin of [[segmentPairs]], and the
+    * operational shape of an audio takedown: resolve the snippet to clip
+    * ids here, then [[graft.table.SnapshotTable.stageDelete]] them).
+    *
+    * Scale shape: the corpus side is ONE windowed-fingerprint pass (the
+    * [[windowFingerprints]] narrow flatMap) band-keyed exactly like
+    * [[Dedup.hamming64Pairs]]; the query side is tiny by definition and is
+    * BROADCAST, so the corpus never shuffles — band keys make the probe an
+    * equi-join, not a scan-side Hamming loop over every query window.
+    *
+    * Containment evidence is ALIGNMENT, not bag-of-windows overlap: a
+    * genuine embedded copy matches its query windows at one common offset
+    * `delta = corpus_win − query_win`, so the score counts distinct query
+    * windows matched at the BEST single delta (ties → smallest delta) and
+    * `coverage = n_matched / n_query_windows` over the query's non-gated
+    * windows. Shared-phase caveat as [[segmentPairs]]: detection is
+    * alignment-sensitive at `hopMs` granularity. Same-id corpus rows are
+    * excluded (a query drawn from the corpus should not report itself). */
+  def findClipsContaining(corpus: DataFrame, queries: DataFrame,
+                          windowMs: Int = 500, hopMs: Int = 250,
+                          minRms: Double = 0.01, maxHamming: Int = 3,
+                          numBands: Int = 4,
+                          minCoverage: Double = 0.8): DataFrame = {
+    require(64 % numBands == 0, s"numBands $numBands must divide 64")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def banded(fps: DataFrame): DataFrame = fps
+      .select(col("clip_id"), col("win_idx"), col("fp"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("fp"), b * width)
+              .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("clip_id"), col("win_idx"), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cw = banded(windowFingerprints(corpus, windowMs, hopMs, minRms).toDF())
+      .select(col("band"), col("key"), col("clip_id").as("clip_id_c"),
+        col("win_idx").as("cwin"), col("fp").as("cfp"))
+    val qfp = windowFingerprints(queries, windowMs, hopMs, minRms).toDF()
+    val qn = qfp.groupBy(col("clip_id").as("query_id"))
+      .agg(count(lit(1)).as("n_qwins"))
+    val qw = banded(qfp).select(col("band"), col("key"),
+      col("clip_id").as("query_id"), col("win_idx").as("qwin"),
+      col("fp").as("qfp"))
+    val matched = cw.join(broadcast(qw), Seq("band", "key"))
+      .filter(col("clip_id_c") =!= col("query_id"))
+      .filter(bit_count(col("cfp").bitwiseXOR(col("qfp"))) <= maxHamming)
+      .select(col("clip_id_c"), col("query_id"), col("cwin"), col("qwin"))
+      .distinct() // a pair matching on several bands counts once
+    val perDelta = matched
+      .withColumn("delta", col("cwin") - col("qwin"))
+      .groupBy("clip_id_c", "query_id", "delta")
+      .agg(count_distinct(col("qwin")).as("n_matched"))
+    val best = perDelta.groupBy("clip_id_c", "query_id")
+      .agg(max(struct(col("n_matched").as("m"),
+        (-col("delta")).as("nd"))).as("b"))
+      .select(col("clip_id_c").as("clip_id"), col("query_id"),
+        col("b.m").as("n_matched"), (-col("b.nd")).cast("int").as("offset"))
+    best.join(broadcast(qn), "query_id")
+      .withColumn("coverage",
+        round(col("n_matched").cast("double") / col("n_qwins"), 4))
+      .filter(col("coverage") >= minCoverage)
+      .select("clip_id", "query_id", "n_matched", "n_qwins", "coverage",
+        "offset")
+  }
 }

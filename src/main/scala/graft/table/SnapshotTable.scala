@@ -653,9 +653,19 @@ object SnapshotTable {
     * snapshot that could reference it. Commits a new snapshot (same chunk
     * set, bumped id) so the log records the rewrite. A crash mid-swap is
     * repaired by [[open]]. Readers see identical rows throughout: the
-    * snapshot log pins chunk CONTENT, which compaction never changes. */
+    * snapshot log pins chunk CONTENT, which compaction never changes.
+    *
+    * `sortBy` additionally CLUSTERS the rewrite (the Iceberg
+    * rewrite_data_files sort-order analog): rows are range-partitioned
+    * across the `targetTasks` writers on the sort columns and sorted
+    * within each file, so parquet row-group/file min-max stats become
+    * selective for range predicates on those columns — the chunk-level
+    * zone maps ([[prunedDataDirs]]) skip whole chunks, and a sorted
+    * rewrite makes the stats INSIDE a surviving chunk prune too. Same
+    * row-multiset contract, same checksum gate. */
   def compactChunk(spark: org.apache.spark.sql.SparkSession, table: String,
-                   chunk: Int, targetTasks: Int = 1): Map[String, Long] = {
+                   chunk: Int, targetTasks: Int = 1,
+                   sortBy: Seq[String] = Nil): Map[String, Long] = {
     import org.apache.spark.sql.functions.{bit_xor => bxor, col, xxhash64}
     val cur = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no current snapshot at $table"))
@@ -677,10 +687,17 @@ object SnapshotTable {
 
     val before = spark.read.option("basePath", live).parquet(live)
     val partCols = partitionColsOf(live)
-    val writer = (if (partCols.nonEmpty)
+    val shaped =
+      if (sortBy.nonEmpty)
+        // range-partition on the sort key so FILE ranges are disjoint (up
+        // to boundary ties), then sort leaf-dir columns first so each
+        // writer emits one run per leaf
+        before.repartitionByRange(math.max(1, targetTasks), sortBy.map(col): _*)
+          .sortWithinPartitions((partCols ++ sortBy).map(col): _*)
+      else if (partCols.nonEmpty)
         before.repartition(math.max(1, targetTasks), partCols.map(col): _*)
-      else before.repartition(math.max(1, targetTasks)))
-      .write.mode("overwrite")
+      else before.repartition(math.max(1, targetTasks))
+    val writer = shaped.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(tmp.toString)
 

@@ -77,6 +77,47 @@ class AugmentSpec extends AnyFunSuite {
     assert(masks("c") == (0, "00000000"), masks.toString)
   }
 
+  test("findClipsContaining: jingle query retrieves embedding clips at the " +
+       "right offset, cross-codec; non-carriers stay out") {
+    import spark.implicits._
+    val sr = 8000
+    def s16(x: Double): Short = {
+      val v = math.round(x * 32768.0)
+      (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+    }
+    def jingle(ms: Int): Array[Short] =
+      Array.tabulate(sr * ms / 1000) { i =>
+        val t = i.toDouble / sr
+        val f = if ((i / (sr / 10)) % 2 == 0) 600.0 else 1800.0
+        s16(0.5 * (0.4 + 0.6 * math.abs(math.sin(2 * math.Pi * 3 * t))) *
+          math.sin(2 * math.Pi * f * t))
+      }
+    def tone(ms: Int, f: Double): Array[Short] =
+      Array.tabulate(sr * ms / 1000)(i =>
+        s16(0.3 * math.sin(2 * math.Pi * f * i / sr)))
+    val j = jingle(600)
+    def mk(id: String, pcm: Array[Short], codec: String) =
+      (id, Codecs.encode(codec, pcm), sr, pcm.length * 1000 / sr, codec, "t")
+    val corpus = Seq(
+      mk("front", j ++ tone(600, 500.0), "pcm_s16le"),   // jingle at 0
+      mk("mid", tone(600, 2000.0) ++ j ++ tone(400, 350.0), "ulaw8"), // at 600ms, re-encoded
+      mk("clean", tone(1600, 440.0), "pcm_s16le"))       // no jingle
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val query = Seq(mk("q_jingle", j, "pcm_s16le"))
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+
+    val hits = graft.pipeline.AudioDedup.findClipsContaining(
+        corpus, query, windowMs = 200, hopMs = 200, minCoverage = 0.9)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(4), r.getInt(5)))
+      .toMap
+    // both carriers found with full 3/3 window coverage at the true offset
+    // (600 ms jingle / 200 ms windows; mid's jingle starts at window 3)
+    assert(hits.keySet == Set("front", "mid"), hits.toString)
+    assert(hits("front") == (("q_jingle", 1.0, 0)), hits.toString)
+    assert(hits("mid") == (("q_jingle", 1.0, 3)), hits.toString)
+  }
+
   private def clips(n: Int) = {
     import spark.implicits._
     val params = ClipGen.Params(n, seed = 11, maxDurMs = 1500)

@@ -518,6 +518,52 @@ class TableSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("missing"))
   }
 
+  test("sorted compaction clusters files by the sort column, same multiset") {
+    val spark = SparkTestBase.spark
+    val in = tmpDir("graft-sort-in")
+    val out = tmpDir("graft-sort-out") + "/t"
+    GenMain.generate(spark, in, ClipGen.Params(200, seed = 67, maxDurMs = 4000),
+      files = 4)
+    FilterJob.run(spark, FilterJob.JobArgs(in, out, chunks = 1, saltBuckets = 8))
+    val before = SnapshotTable.readAligned(spark, out)
+      .collect().map(_.toString).sorted
+
+    SnapshotTable.compactChunk(spark, out, chunk = 0, targetTasks = 3,
+      sortBy = Seq("dur_ms"))
+    val after = SnapshotTable.readAligned(spark, out)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after), "sorted compaction changed content")
+
+    // per-file dur_ms ranges must be disjoint up to boundary ties — that
+    // is what makes parquet file/row-group stats selective after the sort
+    // within a LEAF dir (keep=/lang=): files come from distinct range
+    // partitions, so their key ranges must be disjoint up to boundary ties
+    val files = Files.walk(Paths.get(SnapshotTable.chunkDir(out, 0)))
+      .iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files.size >= 2, s"want multiple files, got ${files.size}")
+    var checkedLeaves = 0
+    files.groupBy(_.getParent).foreach { case (leaf, fs) =>
+      if (fs.size >= 2) {
+        checkedLeaves += 1
+        val ranges = fs.map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(org.apache.spark.sql.functions.min(col("dur_ms")).cast("long"),
+              org.apache.spark.sql.functions.max(col("dur_ms")).cast("long"))
+            .collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }.sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Seq((_, hi), (lo2, _)) =>
+            assert(lo2 >= hi,
+              s"file ranges in $leaf overlap beyond a boundary tie: $ranges")
+          case _ =>
+        }
+      }
+    }
+    assert(checkedLeaves >= 1, "no leaf had multiple files to check")
+  }
+
   test("TakedownJob: newline id list staged end-to-end, expire+purge path") {
     val spark = SparkTestBase.spark
     val in = tmpDir("graft-td-in")
