@@ -674,6 +674,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- tokenizer fertility by language ----------------------------------
+    // chars-per-token per lang over the same learned BPE: the table a
+    // sequence-length budget (and per-lang packing cost) is planned from.
+    // Encode rides the bpe_encode plan (merges as literals, no shuffle);
+    // the rollup is one lang-sized aggregate with exact integer sums
+    "q_docs_fertility" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val merges = graft.pipeline.TextProfile
+        .bpeMerges(d, "text", rounds = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.pipeline.TextProfile.bpeEncode(d, "doc_id", "text", merges)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("n_chars_enc")).cast("double") /
+            sum(col("n_tokens")).cast("double"), 4).as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
     // ---- end-to-end curation recipe (the composed pipeline) --------------
     // the standard corpus-curation chain as ONE query, each stage a library
     // op already oracled in isolation: decontaminate against a held-out
@@ -1161,6 +1182,46 @@ object SparkEntry {
         .orderBy("clip_id")
     })
   )
+
+  /** Shared BPE-encode oracle scaffold: replays all four merge-training
+    * rounds from raw text, encodes every document with the learned chain,
+    * and exposes the result as CTE `enc(doc_id, lang, n_chars_enc,
+    * n_tokens)` for `finalSelect` (q_docs_bpe_encode dumps it per doc;
+    * q_docs_fertility rolls it up per language). */
+  private def bpeEncodeOracleSql(finalSelect: String): String = {
+    def r(i: Int) =
+      s"""p$i AS (
+         |  SELECT s.lst[i] AS lhs, s.lst[i+1] AS rhs, sum(t.cnt) AS n
+         |  FROM t${i - 1} t,
+         |  LATERAL (SELECT string_split(trim(t.toks), ' ') AS lst) s,
+         |  LATERAL unnest(generate_series(1, len(s.lst) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, lhs || rhs AS merged
+         |  FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |t$i AS (SELECT t.cnt,
+         |  replace(t.toks, ' '||b.lhs||' '||b.rhs||' ', ' '||b.merged||' ') AS toks
+         |  FROM t${i - 1} t, b$i b)""".stripMargin
+    val chain = (1 to 4).foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+      (acc, i) =>
+        s"replace($acc,\n        ' '||b$i.lhs||' '||b$i.rhs||' ', ' '||b$i.merged||' ')"
+    }
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word),
+       |t0 AS (SELECT cnt,
+       |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS toks FROM wc),
+       |${(1 to 4).map(r).mkString(",\n")},
+       |enc AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(length(d.text) AS BIGINT) AS n_chars_enc,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'), w -> w <> ''),
+       |      w -> len(string_split(trim($chain), ' ')))), 0) AS BIGINT) AS n_tokens
+       |  FROM documents d, b1, b2, b3, b4)
+       |$finalSelect""".stripMargin
+  }
 
   /** DuckDB-dialect oracle SQL over the same parquet tables; aliases match
     * the Spark column names exactly (driver hash-compares by sorted column
@@ -1686,38 +1747,17 @@ object SparkEntry {
     // list, then each doc's words pass through the identical sentinel-space
     // replace chain inside a list_transform lambda — token counts must
     // match the engine's HOF encode exactly
-    "q_docs_bpe_encode" -> {
-      def r(i: Int) =
-        s"""p$i AS (
-           |  SELECT s.lst[i] AS lhs, s.lst[i+1] AS rhs, sum(t.cnt) AS n
-           |  FROM t${i - 1} t,
-           |  LATERAL (SELECT string_split(trim(t.toks), ' ') AS lst) s,
-           |  LATERAL unnest(generate_series(1, len(s.lst) - 1)) AS g(i)
-           |  GROUP BY 1, 2),
-           |b$i AS (SELECT lhs, rhs, lhs || rhs AS merged
-           |  FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
-           |t$i AS (SELECT t.cnt,
-           |  replace(t.toks, ' '||b.lhs||' '||b.rhs||' ', ' '||b.merged||' ') AS toks
-           |  FROM t${i - 1} t, b$i b)""".stripMargin
-      val chain = (1 to 4).foldLeft(
-        "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
-        (acc, i) =>
-          s"replace($acc,\n        ' '||b$i.lhs||' '||b$i.rhs||' ', ' '||b$i.merged||' ')"
-      }
-      s"""WITH wc AS (
-         |  SELECT word, count(*) AS cnt FROM (
-         |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
-         |    FROM documents) WHERE word <> '' GROUP BY word),
-         |t0 AS (SELECT cnt,
-         |  ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS toks FROM wc),
-         |${(1 to 4).map(r).mkString(",\n")}
-         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_enc,
-         |  CAST(coalesce(list_sum(list_transform(
-         |    list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'), w -> w <> ''),
-         |    w -> len(string_split(trim($chain), ' ')))), 0) AS BIGINT) AS n_tokens
-         |FROM documents d, b1, b2, b3, b4
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_docs_bpe_encode" -> bpeEncodeOracleSql(
+      """SELECT doc_id, n_chars_enc, n_tokens FROM enc ORDER BY doc_id"""),
+    // tokenizer fertility by language: the sequence-budget table a corpus
+    // is packed from — same 4-round merge replay + encode as
+    // q_docs_bpe_encode, rolled up per lang with exact integer sums
+    "q_docs_fertility" -> bpeEncodeOracleSql(
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_chars_enc) AS DOUBLE)
+        |    / CAST(sum(n_tokens) AS DOUBLE), 4) AS chars_per_token
+        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin),
     // composed curation chain, replayed stage by stage in the same order:
     // NOT EXISTS decontamination → the 5-rule scrub chain → md5 keeper
     // election → quality gate → length-weighted md5 sampling

@@ -176,4 +176,57 @@ object StreamingFilter {
       .withWatermark("arrival_ts", "2 minutes")
       .groupBy(window(col("arrival_ts"), windowLen), col("lang"), col("keep"))
       .agg(count(lit(1)).as("n"))
+
+  // ---- streaming sink into the snapshot table -------------------------------
+
+  /** One micro-batch committed as one snapshot-table chunk, keyed by the
+    * stream's monotonic `batchId` — the idempotence kernel of
+    * [[sinkToSnapshotTable]], exposed for direct testing. Exactly-once
+    * table content falls out of two existing invariants: a REPLAYED batch
+    * (same batchId after a crash) finds its chunk already committed and
+    * does nothing, and a partially-written uncommitted chunk is swept by
+    * `SnapshotTable.open` before the rewrite. `totalChunks` is 0 by
+    * convention: a stream has no completion count. */
+  private[graft] def commitBatch(batch: DataFrame, batchId: Long,
+                                     table: String,
+                                     partitionCols: Seq[String]): Unit = {
+    import graft.table.SnapshotTable
+    require(batchId >= 0 && batchId <= Int.MaxValue, s"batchId $batchId")
+    val chunk = batchId.toInt
+    val committed = SnapshotTable.open(table, 0)
+    if (!committed.contains(chunk)) {
+      val rows = batch.persist()
+      val n = rows.count()
+      if (n > 0) {
+        val w = rows.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(SnapshotTable.chunkDir(table, chunk))
+        SnapshotTable.commitChunk(table, chunk, 0,
+          Map("rows" -> n, "batches" -> 1L),
+          schema = Some(rows.schema.toDDL))
+      }
+      rows.unpersist()
+    }
+  }
+
+  /** Continuous ingestion into a [[graft.table.SnapshotTable]]: every
+    * micro-batch commits as one chunk (batchId = chunk id), giving the
+    * STREAMING path the same atomic-commit / resume / time-travel /
+    * incremental-scan / delete-file semantics as the batch job — a
+    * downstream consumer `incrementalDataDirs`-polls the growing table
+    * without knowing a stream writes it. Restart with the same
+    * `checkpoint` dir resumes exactly-once (Structured Streaming replays
+    * the in-flight batch under its original batchId; [[commitBatch]] makes
+    * the replay a no-op when the chunk already committed). Empty batches
+    * commit nothing. */
+  def sinkToSnapshotTable(decisions: DataFrame, table: String,
+                          checkpoint: String,
+                          partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    decisions.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, table, partitionCols)
+      }
+      .start()
 }

@@ -235,4 +235,67 @@ class StreamingSpec extends AnyFunSuite {
     val n = spark.table("stream_counts").agg(sum("n")).collect()(0).getLong(0)
     assert(n == 60, s"windowed counts covered $n of 60 rows")
   }
+
+  test("streaming sink commits micro-batches as snapshot-table chunks, " +
+       "exactly-once under batch replay") {
+    import graft.table.SnapshotTable
+    val dir = Files.createTempDirectory("graft-sink-in").toString
+    GenMain.generate(spark, dir,
+      ClipGen.Params(60, seed = 23, maxDurMs = 1500), files = 3)
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val table = Files.createTempDirectory("graft-sink-out").toString + "/t"
+
+    val q = StreamingFilter.sinkToSnapshotTable(
+      StreamingFilter.decisions(spark, dir, Presets.default, model)
+        .drop("drop_reasons"), // flat columns for the table schema DDL
+      table,
+      Files.createTempDirectory("graft-sink-ckpt").toString,
+      partitionCols = Seq("keep"))
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = SnapshotTable.currentSnapshot(table).get
+    assert(snap.counters("rows") == 60L, snap.counters.toString)
+    assert(snap.committedChunks.nonEmpty)
+    val read = SnapshotTable.readAligned(spark, table)
+    assert(read.count() == 60)
+    // batch semantics preserved through the stream + snapshot round-trip
+    val batchKeep = FilterPipeline.decisions(
+        spark.read.schema(graft.app.FilterJob.clipSchema).parquet(dir)
+          .na.fill(Map("transcript" -> "")).as[graft.model.ClipRow](
+            org.apache.spark.sql.Encoders.product[graft.model.ClipRow]),
+        Presets.default, model)
+      .select("clip_id", "keep").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    val sunk = read.select("clip_id", "keep").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(sunk == batchKeep)
+
+    // crash/replay idempotence: re-committing an ALREADY-COMMITTED batchId
+    // (what Structured Streaming does after a failover) changes nothing,
+    // even with different data in the replayed frame
+    val chunk0 = snap.committedChunks.min
+    val before = read.collect().map(_.toString).sorted
+    StreamingFilter.commitBatch(
+      read.limit(3).toDF(), chunk0.toLong, table, Seq("keep"))
+    assert(SnapshotTable.currentSnapshot(table).get.id == snap.id,
+      "replayed batch must not commit a new snapshot")
+    assert(SnapshotTable.readAligned(spark, table)
+      .collect().map(_.toString).sorted.sameElements(before))
+
+    // a partially-written uncommitted chunk from a mid-batch crash is
+    // swept and rewritten when the batch replays under its original id
+    val orphanId = snap.committedChunks.max + 7
+    val orphanDir = java.nio.file.Paths.get(
+      SnapshotTable.chunkDir(table, orphanId))
+    Files.createDirectories(orphanDir)
+    Files.writeString(orphanDir.resolve("part-junk.parquet"), "junk")
+    StreamingFilter.commitBatch(
+      SnapshotTable.readAligned(spark, table).limit(5).toDF(),
+      orphanId.toLong, table, Seq("keep"))
+    val after = SnapshotTable.currentSnapshot(table).get
+    assert(after.committedChunks.contains(orphanId))
+    assert(!Files.exists(orphanDir.resolve("part-junk.parquet")))
+    assert(SnapshotTable.readAligned(spark, table).count() == 65)
+  }
 }
