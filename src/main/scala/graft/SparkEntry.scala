@@ -401,6 +401,27 @@ object SparkEntry {
         .select(col("id"), col("comp").as("component"))
         .orderBy("id")),
 
+    // ---- duplicate-cluster size distribution ------------------------------
+    // the canonical dedup-paper histogram: how much of the corpus is
+    // duplicated at what multiplicity. Sizes from the component table
+    // (two tiny aggregates over (id, comp)); singletons — docs in no
+    // near-dup pair — complete the corpus so the n_docs column sums to the
+    // full (documents ∪ planted copies) universe
+    "q_docs_cluster_sizes" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents"))
+      val comps = graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir))
+      val hist = comps.groupBy("comp")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      val nTotal = d.count() + d.filter(col("doc_id") < 30).count()
+      val nInPairs = comps.count()
+      hist.union(Seq((1L, nTotal - nInPairs)).toDF("cluster_size", "n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     // ---- containment near-dup (small-doc-inside-big-doc) -----------------
     // symmetric Jaccard misses a short document duplicated inside a long
     // one (J = |A|/|B|); the winnowing fingerprint index catches it —
@@ -605,6 +626,48 @@ object SparkEntry {
             meanWl >= 3.0 && meanWl <= 10.0 &&
             alphaFrac >= 0.8 && symRatio <= 0.1 && nStop >= 2).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Gopher rule ablation ---------------------------------------------
+    // the filter-tuning table: per rule, how many docs fail it, how many
+    // fail ONLY it (its unique kill count), and how many docs the corpus
+    // keeps with the rule removed — what a curation engineer reads before
+    // loosening any single threshold. One map-side-combined aggregate over
+    // pure column expressions, stacked to a 5-row table
+    "q_docs_gopher_ablation" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val ws = filter(split(lower(col("text")), "\\s+"), w => w =!= lit(""))
+      val nWords = size(ws)
+      val wordChars = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+      val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+      val hashes = length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))
+      val stops = Seq("the", "a", "be", "to", "of", "and", "that", "with")
+      val nStop = stops.map(st =>
+        when(array_contains(ws, st), 1).otherwise(0)).reduce(_ + _)
+      val meanWl = wordChars.cast(DoubleType) / nWords
+      val rules: Seq[(String, Column)] = Seq(
+        "alpha_frac" -> (alphaWords.cast(DoubleType) / nWords >= 0.8),
+        "mean_word_len" -> (meanWl >= 3.0 && meanWl <= 10.0),
+        "stopwords" -> (nStop >= 2),
+        "symbol_ratio" -> (hashes.cast(DoubleType) / nWords <= 0.1),
+        "word_count" -> (nWords >= 10 && nWords <= 100000))
+      val flags = d.select(rules.map { case (n, c) => c.as(s"p_$n") }: _*)
+      def others(r: String): Column = rules.map(_._1).filter(_ != r)
+        .map(n => col(s"p_$n")).reduce(_ && _)
+      def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      val aggCols = rules.flatMap { case (n, _) => Seq(
+        cnt(!col(s"p_$n")).as(s"${n}_fail"),
+        cnt(!col(s"p_$n") && others(n)).as(s"${n}_uniq"),
+        cnt(others(n)).as(s"${n}_without"))
+      } :+ cnt(rules.map(r => col(s"p_${r._1}")).reduce(_ && _)).as("base")
+      val a = flags.agg(aggCols.head, aggCols.tail: _*)
+      val stackArgs = rules.map { case (n, _) =>
+        s"'$n', ${n}_fail, ${n}_uniq, ${n}_without" }.mkString(", ")
+      a.select(expr(s"stack(${rules.size}, $stackArgs) AS " +
+          "(rule, n_fail, n_unique_fail, n_kept_without)"),
+          col("base").as("n_kept_base"))
+        .orderBy("rule")
     }),
 
     // ---- per-source survival under the Gopher gate -----------------------
@@ -1469,6 +1532,54 @@ object SparkEntry {
         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
         |SELECT u AS id, least(u, min(v)) AS component
         |FROM reach GROUP BY u ORDER BY id""".stripMargin,
+    // duplicate-cluster size histogram: the components recursive CTE
+    // extended with per-component sizes; singletons (docs in no pair)
+    // complete the (documents ∪ planted) universe
+    "q_docs_cluster_sizes" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component
+        |         FROM reach GROUP BY u),
+        |sizes AS (SELECT component, count(*) AS cluster_size
+        |          FROM comp GROUP BY 1),
+        |hist AS MATERIALIZED (SELECT cluster_size, count(*) AS n_clusters
+        |         FROM sizes GROUP BY 1),
+        |-- hist is MATERIALIZED and singletons derive from it, never from a
+        |-- second comp reference: an inlined re-reference re-evaluates the
+        |-- whole reach chain (measured: tens of GB of DuckDB spill at sf0.1)
+        |sing AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |  (SELECT count(*) FROM all_docs)
+        |    - (SELECT CAST(sum(cluster_size * n_clusters) AS BIGINT) FROM hist)
+        |    AS n_clusters)
+        |SELECT cluster_size,
+        |  CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM sing)
+        |ORDER BY cluster_size""".stripMargin,
     // exact shingle-containment ground truth over docs ∪ planted 120-char
     // prefixes: |A∩B| / min(|A|,|B|) ≥ 0.9 — the winnowing-index engine
     // path must converge on the identical verified pair set
@@ -1673,6 +1784,53 @@ object SparkEntry {
         |    AND CAST(hashes AS DOUBLE) / n_words <= 0.1
         |    AND n_stop >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // Gopher rule ablation: the same m CTE, per-rule pass bits, exact
+    // integer counts stacked to one row per rule via UNION ALL
+    "q_docs_gopher_ablation" -> {
+      val rules = Seq("alpha_frac", "mean_word_len", "stopwords",
+        "symbol_ratio", "word_count")
+      def cases(r: String): String = {
+        val oth = rules.filterNot(_ == r).map(n => s"p_$n").mkString(" AND ")
+        s"""  CAST(sum(CASE WHEN NOT p_$r THEN 1 ELSE 0 END) AS BIGINT) AS ${r}_fail,
+           |  CAST(sum(CASE WHEN NOT p_$r AND $oth THEN 1 ELSE 0 END) AS BIGINT) AS ${r}_uniq,
+           |  CAST(sum(CASE WHEN $oth THEN 1 ELSE 0 END) AS BIGINT) AS ${r}_without""".stripMargin
+      }
+      val rows = rules.map(r =>
+        s"""SELECT '$r' AS rule, ${r}_fail AS n_fail, ${r}_uniq AS n_unique_fail,
+           |  ${r}_without AS n_kept_without, base AS n_kept_base FROM a""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\n")
+      s"""WITH w AS (
+         |  SELECT source, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> x <> '') AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT
+         |    len(ws) AS n_words,
+         |    list_sum(list_transform(ws, x -> length(x))) AS word_chars,
+         |    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+         |    length(text) - length(replace(text, '#', '')) AS hashes,
+         |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT)
+         |      + CAST(list_contains(ws, 'be') AS INT) + CAST(list_contains(ws, 'to') AS INT)
+         |      + CAST(list_contains(ws, 'of') AS INT) + CAST(list_contains(ws, 'and') AS INT)
+         |      + CAST(list_contains(ws, 'that') AS INT) + CAST(list_contains(ws, 'with') AS INT)
+         |      AS n_stop
+         |  FROM w),
+         |p AS (
+         |  SELECT
+         |    (CAST(alpha_words AS DOUBLE) / n_words >= 0.8) AS p_alpha_frac,
+         |    (CAST(word_chars AS DOUBLE) / n_words >= 3.0
+         |      AND CAST(word_chars AS DOUBLE) / n_words <= 10.0) AS p_mean_word_len,
+         |    (n_stop >= 2) AS p_stopwords,
+         |    (CAST(hashes AS DOUBLE) / n_words <= 0.1) AS p_symbol_ratio,
+         |    (n_words >= 10 AND n_words <= 100000) AS p_word_count
+         |  FROM m),
+         |a AS (SELECT
+         |${rules.map(cases).mkString(",\n")},
+         |  CAST(sum(CASE WHEN ${rules.map(n => s"p_$n").mkString(" AND ")}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS base
+         |FROM p)$rows ORDER BY rule""".stripMargin
+    },
     // per-source survival: the gopher keep bit recomputed, then exact
     // integer counts per source
     "q_docs_gopher_by_source" ->
