@@ -11,7 +11,8 @@ import graft.pipeline.Dedup
   *
   *   spark-submit --class graft.app.DedupJob <jar> \
   *     --input <documents parquet> --output <dir> \
-  *     [--mode exact|minhash|simhash|fingerprint|containment|spans|semdedup|incremental] \
+  *     [--mode exact|minhash|simhash|fingerprint|containment|spans|semdedup|incremental|sourcemirror] \
+  *     [--source source] [--sketch false] \
   *     [--id doc_id] [--text text] [--minJaccard 0.5] \
   *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536] \
   *     [--cluster true] [--checkpointDir <reliable dir>] [--smallGraph 2000000] \
@@ -70,7 +71,8 @@ object DedupJob {
       vecCol: String = "embedding", minSim: Double = 0.95,
       kClusters: Int = 256, kmeansIters: Int = 2, maxCluster: Int = 4096,
       smallGraphLimit: Long = 2000000L,
-      corpus: Option[String] = None, indexTable: Option[String] = None)
+      corpus: Option[String] = None, indexTable: Option[String] = None,
+      sourceCol: String = "source", sketch: Boolean = false)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val docs = spark.read.parquet(a.input)
@@ -210,6 +212,23 @@ object DedupJob {
           Map("indexed_docs" -> ns))
         Map("pairs" -> np, "survivors" -> ns,
           "index_chunks" -> (next + 1).toLong)
+      case "sourcemirror" =>
+        // DOMAIN-level dedup: which sources mirror each other. --sketch
+        // switches to the union-MinHash tier (the shape for web-scale
+        // domain counts); the exact tier caps stop-grams at --maxDocFreq
+        // shared sources, with the dropped grams reported as usual
+        val pairsDf =
+          if (a.sketch)
+            Dedup.sourceMirrorsSketch(docs, a.sourceCol, a.textCol,
+              minJaccard = a.minJaccard, maxBucket = a.maxBucket)
+          else
+            Dedup.sourceMirrors(docs, a.sourceCol, a.textCol,
+              minJaccard = a.minJaccard, maxGramSources = a.maxDocFreq)
+        val n = write(pairsDf.orderBy("src_a", "src_b"), "pairs")
+        val hot = write(Dedup.hotBuckets(
+          Dedup.sourceGrams(docs, a.sourceCol, a.textCol),
+          Seq("gram"), a.maxDocFreq), "hot_buckets")
+        Map("pairs" -> n, "hot_buckets" -> hot)
       case "spans" =>
         val sp =
           if (a.spanSep == "words")
@@ -247,7 +266,9 @@ object DedupJob {
       maxCluster = m.getOrElse("maxCluster", "4096").toInt,
       smallGraphLimit = m.getOrElse("smallGraph", "2000000").toLong,
       corpus = m.get("corpus"),
-      indexTable = m.get("indexTable"))
+      indexTable = m.get("indexTable"),
+      sourceCol = m.getOrElse("source", "source"),
+      sketch = m.getOrElse("sketch", "false").toBoolean)
 
     val builder = SparkSession.builder().appName("graft-dedup")
       .config("spark.sql.adaptive.enabled", "true")

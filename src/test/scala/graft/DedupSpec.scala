@@ -1515,6 +1515,25 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing from --corpus"))
   }
 
+  test("DedupJob sourcemirror mode writes mirror pairs, exact and sketch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-srcm").toString
+    Seq(
+      ("a", "alpha bravo charlie delta echo foxtrot golf hotel india juliett"),
+      ("a", "kilo lima mike november oscar papa quebec romeo sierra tango"),
+      ("mirror_a", "alpha bravo charlie delta echo foxtrot golf hotel " +
+        "india juliett kilo lima mike november oscar papa quebec romeo sierra tango"),
+      ("b", "tango sierra romeo quebec papa oscar november mike lima kilo")
+    ).toDF("source", "text").write.parquet(s"$tmp/docs")
+    Seq("false", "true").foreach { sk =>
+      val m = graft.app.DedupJob.run(spark, graft.app.DedupJob.Args(
+        input = s"$tmp/docs", output = s"$tmp/out-$sk",
+        mode = "sourcemirror", sketch = sk.toBoolean))
+      assert(m("pairs") == 1L, s"sketch=$sk: $m")
+      val p = spark.read.parquet(s"$tmp/out-$sk/pairs").collect()(0)
+      assert(p.getString(0) == "a" && p.getString(1) == "mirror_a")
+    }
+  }
+
   test("sourceMirrors: a re-chunked mirror domain pairs; unrelated do not; " +
        "sketch tier equals the exact tier") {
     // mirror_a re-hosts source a's CONTENT but re-chunks it: the two docs
