@@ -222,4 +222,55 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("partial"),
       s"per-doc sums must map-side combine before the shuffle:\n$plan")
   }
+
+  test("sourceMirrorsSketch: the union-MinHash aggregate map-side combines " +
+       "and the verify is pruned to candidate sources via broadcast") {
+    val docs = spark.read.parquet(dir)
+      .select(concat(lit("s"), (col("doc_id") % 4).cast("string")).as("source"),
+        col("text"))
+    val df = graft.pipeline.Dedup.sourceMirrorsSketch(
+      docs, "source", "text", numHashes = 32, rowsPerBand = 4,
+      minJaccard = 0.0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the domain signature is ONE partial-aggregated min pass: partials of
+    // (src, numHashes longs) — never a per-doc signature re-aggregation
+    assert(plan.contains("partial_min"),
+      s"union-MinHash mins must map-side combine:\n$plan")
+    // candidate-source pruning reaches the gram frame as a broadcast
+    // semi-join — the quadratic verify never sees a non-candidate domain
+    assert(plan.contains("LeftSemi, BuildRight") ||
+      plan.contains("LeftSemi"),
+      s"gram frame must be semi-join-pruned to candidate sources:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the candidate-source prune must broadcast:\n$plan")
+  }
+
+  test("findClipsContaining: the corpus fingerprint side never shuffles — " +
+       "query bands and window counts broadcast onto it") {
+    import spark.implicits._
+    val sr = 8000
+    def pcm(f: Double): Array[Byte] = graft.codec.Codecs.encode("pcm_s16le",
+      Array.tabulate(sr)(i =>
+        (math.sin(2 * math.Pi * f * i / sr) * 12000).toShort))
+    val rows = (0 until 6).map(i =>
+      (s"c$i", pcm(300.0 + 37 * i), sr, 1000, "pcm_s16le", "t"))
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val q = Seq(("q0", pcm(300.0), sr, 1000, "pcm_s16le", "t"))
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val df = graft.pipeline.AudioDedup.findClipsContaining(rows, q,
+      windowMs = 200, hopMs = 200, minCoverage = 0.5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus windows meet the query through broadcast joins only; the sole
+    // exchanges key on the skinny (clip, query, delta) match rows, never
+    // on anything carrying corpus fingerprints pre-broadcast-join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query bands must broadcast onto the corpus windows:\n$plan")
+    val badExchange = plan.linesIterator.find(l =>
+      l.contains("Exchange") && (l.contains("bytes") || l.contains("cfp")))
+    assert(badExchange.isEmpty,
+      s"corpus bytes/fingerprints crossed an exchange: $badExchange")
+  }
 }
