@@ -134,4 +134,68 @@ object Augment {
     }.toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
       "rms_db_in", "gain_db")
   }
+
+  /** One biquad notch (RBJ audio-EQ cookbook), direct form I:
+    * y = (b0·x + b1·x₁ + b2·x₂ − a1·y₁ − a2·y₂)/a0 with
+    * b = (1, −2cos w0, 1), a = (1+α, −2cos w0, 1−α), α = sin(w0)/(2Q).
+    * Closed-form deterministic — retried tasks emit identical samples. */
+  private def biquadNotch(x: Array[Double], f0: Double, fs: Int,
+                          q: Double): Array[Double] = {
+    val w0 = 2.0 * math.Pi * f0 / fs
+    val alpha = math.sin(w0) / (2.0 * q)
+    val cw = math.cos(w0)
+    val a0 = 1.0 + alpha
+    val b0 = 1.0 / a0
+    val b1 = -2.0 * cw / a0
+    val b2 = 1.0 / a0
+    val a1 = -2.0 * cw / a0
+    val a2 = (1.0 - alpha) / a0
+    val y = new Array[Double](x.length)
+    var x1 = 0.0; var x2 = 0.0; var y1 = 0.0; var y2 = 0.0
+    var i = 0
+    while (i < x.length) {
+      val yi = b0 * x(i) + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+      y(i) = yi
+      x2 = x1; x1 = x(i); y2 = y1; y1 = yi
+      i += 1
+    }
+    y
+  }
+
+  /** Mains-hum REMOVAL — the cleaning counterpart of rule H7 (which only
+    * detects and drops): a cascade of biquad notches at `freqsHz` (50 and
+    * 60 Hz by default — filtering both is the standard practice when the
+    * grid region is unknown; a notch at a hum-free frequency is ~identity
+    * outside its ~f0/Q-wide stopband). The 1-D analog of the reference's
+    * periodic line-artifact REMOVAL (`image_processing.py:817-871` erases
+    * the artifact rather than discarding the page). Same narrow shape as
+    * every augment op: decode → filter → re-encode in one flatMap, no
+    * waveform shuffle. Output carries the before/after hum fraction
+    * ([[graft.rules.Heuristics.spectralHumFrac]]) for lineage — rescued
+    * clips can be re-admitted by re-running the filter on the cleaned
+    * table. Frequencies at/above Nyquist are skipped. */
+  def removeHum(clips: DataFrame, freqsHz: Seq[Double] = Seq(50.0, 60.0),
+                q: Double = 4.0): DataFrame = {
+    require(freqsHz.nonEmpty && freqsHz.forall(f => f > 0),
+      s"bad notch frequencies $freqsHz")
+    require(q >= 0.5 && q <= 100, s"notch Q out of (0.5, 100): $q")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    typed(clips).flatMap { c =>
+      Codecs.decode(c.codec, c.bytes).toOption.map { pcm =>
+        val humBefore = graft.rules.Heuristics
+          .spectralHumFrac(pcm, 0, pcm.length, c.sr_hz)
+        var x = Array.tabulate(pcm.length)(i => pcm(i).toDouble)
+        freqsHz.filter(_ < c.sr_hz / 2.0).foreach { f0 =>
+          x = biquadNotch(x, f0, c.sr_hz, q)
+        }
+        val outF = Array.tabulate(x.length)(i => x(i).toFloat)
+        val humAfter = graft.rules.Heuristics
+          .spectralHumFrac(outF, 0, outF.length, c.sr_hz)
+        (c.clip_id, Codecs.encodePcmS16le(outF.map(f2s)), c.sr_hz,
+          c.dur_ms, "pcm_s16le", c.transcript, humBefore, humAfter)
+      }
+    }.toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+      "hum_frac_in", "hum_frac_out")
+  }
 }
