@@ -234,10 +234,22 @@ object SnapshotTable {
     require(dirs.nonEmpty, s"readAligned: snapshot v${snap.id} has no data")
     // basePath keeps the chunk=N dirs (and any partitionBy subdirs under
     // them) parsing as partition columns of ONE table rather than
-    // conflicting roots
-    val raw = spark.read.option("mergeSchema", "true")
-      .option("basePath", Paths.get(table, "data").toString)
-      .parquet(dirs: _*)
+    // conflicting roots. Chunks may carry DIFFERENT partition layouts
+    // (Iceberg partition-spec evolution: a table can re-partition its
+    // future chunks without rewriting the past) — one Spark read cannot
+    // mix layouts, so chunks group by their key=value dir signature, each
+    // group reads under the shared basePath, and the groups union by name
+    // (a column that is dir-encoded in one layout and file-encoded in
+    // another reconciles; one absent from a chunk entirely reads as null,
+    // the schema-evolution semantic)
+    val raw = dirs.groupBy(d => partitionColsOf(d)).toSeq
+      .sortBy(_._1.mkString(","))
+      .map { case (_, ds) =>
+        spark.read.option("mergeSchema", "true")
+          .option("basePath", Paths.get(table, "data").toString)
+          .parquet(ds: _*)
+      }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     val aligned = snap.schema match {
       case None => raw
       case Some(ddl) =>

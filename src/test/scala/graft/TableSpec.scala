@@ -518,6 +518,47 @@ class TableSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("missing"))
   }
 
+  test("partition-spec evolution: chunks with different layouts read as one " +
+       "table") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = tmpDir("graft-pspec") + "/t"
+    SnapshotTable.open(dir, 3)
+    val ddl = "clip_id BIGINT,keep BOOLEAN,lang STRING,score DOUBLE"
+    // chunk 0: Hive-partitioned by (keep, lang)
+    Seq((1L, true, "en", 0.9), (2L, false, "de", 0.2))
+      .toDF("clip_id", "keep", "lang", "score")
+      .write.partitionBy("keep", "lang")
+      .parquet(SnapshotTable.chunkDir(dir, 0))
+    SnapshotTable.commitChunk(dir, 0, 3, Map("rows" -> 2L), schema = Some(ddl))
+    // chunk 1: the spec evolved — partitioned by keep only
+    Seq((3L, true, "fr", 0.7)).toDF("clip_id", "keep", "lang", "score")
+      .write.partitionBy("keep").parquet(SnapshotTable.chunkDir(dir, 1))
+    SnapshotTable.commitChunk(dir, 1, 3, Map("rows" -> 1L))
+    // chunk 2: unpartitioned (spec dropped entirely)
+    Seq((4L, false, "en", 0.4)).toDF("clip_id", "keep", "lang", "score")
+      .write.parquet(SnapshotTable.chunkDir(dir, 2))
+    SnapshotTable.commitChunk(dir, 2, 3, Map("rows" -> 1L))
+
+    // one aligned read reconciles all three layouts: dir-encoded and
+    // file-encoded columns surface identically, order = schema
+    val read = SnapshotTable.readAligned(spark, dir)
+    assert(read.columns.toSeq == Seq("clip_id", "keep", "lang", "score"))
+    val rows = read.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(rows == Set(
+      (1L, true, "en", 0.9), (2L, false, "de", 0.2),
+      (3L, true, "fr", 0.7), (4L, false, "en", 0.4)), rows.toString)
+    // time travel still respects the layout mix present at that snapshot
+    assert(SnapshotTable.readAligned(spark, dir, atSnapshot = Some(1L))
+      .count() == 3)
+    // deletes apply across layouts too
+    SnapshotTable.stageDelete(spark, dir, "clip_id", Seq(1L, 4L).toDF("clip_id"))
+    assert(SnapshotTable.readAligned(spark, dir)
+      .select("clip_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("sorted compaction clusters files by the sort column, same multiset") {
     val spark = SparkTestBase.spark
     val in = tmpDir("graft-sort-in")
