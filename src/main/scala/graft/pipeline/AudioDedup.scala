@@ -148,7 +148,25 @@ object AudioDedup {
                           windowMs: Int = 500, hopMs: Int = 250,
                           minRms: Double = 0.01, maxHamming: Int = 3,
                           numBands: Int = 4,
-                          minCoverage: Double = 0.8): DataFrame = {
+                          minCoverage: Double = 0.8): DataFrame =
+    findInIndex(windowFingerprints(corpus, windowMs, hopMs, minRms).toDF(),
+      queries, windowMs, hopMs, minRms, maxHamming, numBands, minCoverage)
+
+  /** [[findClipsContaining]] against a PREBUILT window-fingerprint index —
+    * the daily-ingest shape for audio retrieval/takedown at 10^12-clip
+    * scale: the corpus decodes ONCE (the [[windowFingerprints]] pass,
+    * persisted as skinny (clip_id, win_idx, n_wins, fp) rows, e.g. one
+    * [[graft.table.SnapshotTable]] chunk per ingest) and every later
+    * snippet query is an index scan + broadcast probe — no corpus byte is
+    * ever re-read. The query side decodes live with the SAME window/hop/
+    * minRms parameters the index was built with (caller contract; a
+    * mismatch silently costs recall, never correctness of what IS
+    * matched). */
+  def findInIndex(index: DataFrame, queries: DataFrame,
+                  windowMs: Int = 500, hopMs: Int = 250,
+                  minRms: Double = 0.01, maxHamming: Int = 3,
+                  numBands: Int = 4,
+                  minCoverage: Double = 0.8): DataFrame = {
     require(64 % numBands == 0, s"numBands $numBands must divide 64")
     val width = 64 / numBands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -160,7 +178,7 @@ object AudioDedup {
               .bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("clip_id"), col("win_idx"), col("fp"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val cw = banded(windowFingerprints(corpus, windowMs, hopMs, minRms).toDF())
+    val cw = banded(index.select("clip_id", "win_idx", "fp"))
       .select(col("band"), col("key"), col("clip_id").as("clip_id_c"),
         col("win_idx").as("cwin"), col("fp").as("cfp"))
     val qfp = windowFingerprints(queries, windowMs, hopMs, minRms).toDF()

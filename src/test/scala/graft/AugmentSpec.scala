@@ -118,6 +118,71 @@ class AugmentSpec extends AnyFunSuite {
     assert(hits("mid") == (("q_jingle", 1.0, 3)), hits.toString)
   }
 
+  test("findInIndex: a persisted fingerprint index answers snippet queries " +
+       "decode-free and grows across ingests") {
+    import spark.implicits._
+    import graft.table.SnapshotTable
+    val sr = 8000
+    def s16(x: Double): Short = {
+      val v = math.round(x * 32768.0)
+      (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+    }
+    def jingle(ms: Int): Array[Short] =
+      Array.tabulate(sr * ms / 1000) { i =>
+        val t = i.toDouble / sr
+        val f = if ((i / (sr / 10)) % 2 == 0) 600.0 else 1800.0
+        s16(0.5 * (0.4 + 0.6 * math.abs(math.sin(2 * math.Pi * 3 * t))) *
+          math.sin(2 * math.Pi * f * t))
+      }
+    def tone(ms: Int, f: Double): Array[Short] =
+      Array.tabulate(sr * ms / 1000)(i =>
+        s16(0.3 * math.sin(2 * math.Pi * f * i / sr)))
+    val j = jingle(600)
+    def mk(id: String, pcm: Array[Short], codec: String) =
+      (id, Codecs.encode(codec, pcm), sr, pcm.length * 1000 / sr, codec, "t")
+    def df(rows: Seq[(String, Array[Byte], Int, Int, String, String)]) =
+      rows.toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val ingest1 = df(Seq(
+      mk("front", j ++ tone(600, 500.0), "pcm_s16le"),
+      mk("clean", tone(1600, 440.0), "pcm_s16le")))
+    val ingest2 = df(Seq(
+      mk("late", tone(400, 900.0) ++ j, "ulaw8"))) // carrier in batch 2
+    val query = df(Seq(mk("q_jingle", j, "pcm_s16le")))
+
+    // decode each ingest ONCE into a snapshot-table chunk of skinny rows
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-afp-idx").toString + "/t"
+    SnapshotTable.open(table, 0)
+    graft.pipeline.AudioDedup
+      .windowFingerprints(ingest1, windowMs = 200, hopMs = 200).toDF()
+      .write.parquet(SnapshotTable.chunkDir(table, 0))
+    SnapshotTable.commitChunk(table, 0, 0, Map.empty)
+    def index() = spark.read
+      .option("basePath", java.nio.file.Paths.get(table, "data").toString)
+      .parquet(SnapshotTable.committedDataDirs(table): _*)
+      .select("clip_id", "win_idx", "fp")
+
+    // index ≡ direct on ingest 1
+    def hits(ix: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.AudioDedup.findInIndex(ix, query,
+          windowMs = 200, hopMs = 200, minCoverage = 0.9)
+        .collect().map(r => (r.getString(0), r.getDouble(4), r.getInt(5))).toSet
+    val direct = graft.pipeline.AudioDedup.findClipsContaining(ingest1, query,
+        windowMs = 200, hopMs = 200, minCoverage = 0.9)
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getInt(5))).toSet
+    assert(hits(index()) == direct && direct == Set(("front", 1.0, 0)),
+      s"index ${hits(index())} vs direct $direct")
+
+    // second ingest commits as the next chunk; the grown index retrieves
+    // across both batches (the µ-law carrier at its 400 ms offset)
+    graft.pipeline.AudioDedup
+      .windowFingerprints(ingest2, windowMs = 200, hopMs = 200).toDF()
+      .write.parquet(SnapshotTable.chunkDir(table, 1))
+    SnapshotTable.commitChunk(table, 1, 0, Map.empty)
+    assert(hits(index()) == Set(("front", 1.0, 0), ("late", 1.0, 2)),
+      hits(index()).toString)
+  }
+
   private def clips(n: Int) = {
     import spark.implicits._
     val params = ClipGen.Params(n, seed = 11, maxDurMs = 1500)
