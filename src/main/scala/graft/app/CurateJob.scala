@@ -16,6 +16,7 @@ import graft.text.Scrubber
   *     [--id doc_id] [--text text] \
   *     [--ref <eval/benchmark parquet>] [--refText text] \
   *     [--neardup true] [--minJaccard 0.5] \
+  *     [--mirrors true] [--source source] [--mirrorJaccard 0.8] \
   *     [--spans true] [--spanSep '\n{2,}'] \
   *     [--quality heuristic|learned] [--minQuality 0.5] \
   *     [--minLen 50] [--maxPunctRatio 0.1] [--fullKeepLen 400] \
@@ -35,6 +36,12 @@ import graft.text.Scrubber
   *                       components → remove every non-keeper (keeper =
   *                       component minimum id); only skinny id pairs
   *                       shuffle
+  *   4b. source mirrors— (--mirrors) RefinedWeb-style domain dedup: drop
+  *                       every doc of a source whose word-gram UNION
+  *                       Jaccard-matches another source at
+  *                       --mirrorJaccard (keeper = most surviving docs);
+  *                       catches re-hosted crawls whose re-chunking
+  *                       defeats doc-level near-dup
   *   5. span dedup     — (--spans) drop duplicated paragraphs across the
   *                       corpus and reassemble each document from its
   *                       surviving spans; all-boilerplate docs vanish
@@ -69,6 +76,8 @@ object CurateJob {
       idCol: String = "doc_id", textCol: String = "text",
       ref: Option[String] = None, refTextCol: String = "text",
       nearDup: Boolean = false, minJaccard: Double = 0.5,
+      mirrors: Boolean = false, sourceCol: String = "source",
+      mirrorJaccard: Double = 0.8,
       spans: Boolean = false, spanSep: String = "\\n{2,}",
       quality: String = "heuristic", minQuality: Double = 0.5,
       minLen: Int = 50, maxPunctRatio: Double = 0.1, fullKeepLen: Int = 400,
@@ -117,6 +126,50 @@ object CurateJob {
         cur = cur.join(nonKeepers, Seq("id"), "left_anti")
         cur.count()
       } else nDeduped
+
+      val nMirrors = if (a.mirrors) {
+        // source-level mirror removal (RefinedWeb-style domain dedup): a
+        // re-hosted source whose re-chunking defeats doc-level near-dup
+        // still matches on its word-gram UNION. Pair resolution is driver-
+        // side union-find over the FOUND pairs only — mirror pairs number
+        // far below source counts by nature, and the bound is asserted.
+        // Keeper per mirror cluster = most surviving docs (ties → the
+        // lexicographically smallest source); every other member's docs
+        // drop via a tiny isin predicate (no corpus shuffle).
+        val st = docs.select(col(a.idCol).as("id"),
+          col(a.sourceCol).as("src"))
+        val withSrc = cur.join(st, Seq("id"))
+        val pairRows = Dedup.sourceMirrors(withSrc, "src", "sc",
+            minJaccard = a.mirrorJaccard)
+          .select("src_a", "src_b").collect()
+        require(pairRows.length <= 100000,
+          s"${pairRows.length} mirror pairs exceed the driver-side resolve " +
+            "bound — raise --mirrorJaccard or resolve externally")
+        if (pairRows.isEmpty) nNearDup
+        else {
+          val parent = scala.collection.mutable.Map.empty[String, String]
+          def find(x: String): String = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          pairRows.foreach { r =>
+            val (rx, ry) = (find(r.getString(0)), find(r.getString(1)))
+            if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+          }
+          val mirrored = pairRows
+            .flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+          val counts = withSrc.filter(col("src").isin(mirrored.toSeq: _*))
+            .groupBy("src").agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val dropSrcs = mirrored.groupBy(find).values.flatMap { members =>
+            val keeper = members
+              .sortBy(s => (-counts.getOrElse(s, 0L), s)).head
+            members.filterNot(_ == keeper)
+          }.toSeq
+          cur = withSrc.filter(!col("src").isin(dropSrcs: _*)).drop("src")
+          cur.count()
+        }
+      } else nNearDup
 
       val nSpans = if (a.spans) {
         // drop cross-corpus duplicate paragraphs, reassemble in span order;
@@ -189,14 +242,15 @@ object CurateJob {
       val counts = Map(
         "rows_in" -> nIn, "after_decontaminate" -> nClean,
         "after_dedup" -> nDeduped, "after_neardup" -> nNearDup,
+        "after_mirrors" -> nMirrors,
         "after_spans" -> nSpans, "after_quality" -> nQuality,
         "after_ccnet" -> nBucketsN, "after_mix" -> nMix, "kept" -> nKept)
       spark.createDataFrame(
-          Seq((nIn, nClean, nDeduped, nNearDup, nSpans, nQuality, nBucketsN,
-            nMix, nKept)))
+          Seq((nIn, nClean, nDeduped, nNearDup, nMirrors, nSpans, nQuality,
+            nBucketsN, nMix, nKept)))
         .toDF("rows_in", "after_decontaminate", "after_dedup",
-          "after_neardup", "after_spans", "after_quality", "after_ccnet",
-          "after_mix", "kept")
+          "after_neardup", "after_mirrors", "after_spans", "after_quality",
+          "after_ccnet", "after_mix", "kept")
         .write.mode("overwrite").parquet(s"${a.output}/report")
       counts
     } finally scr.unpersist(blocking = false)
@@ -213,6 +267,9 @@ object CurateJob {
       refTextCol = m.getOrElse("refText", "text"),
       nearDup = m.getOrElse("neardup", "false").toBoolean,
       minJaccard = m.getOrElse("minJaccard", "0.5").toDouble,
+      mirrors = m.getOrElse("mirrors", "false").toBoolean,
+      sourceCol = m.getOrElse("source", "source"),
+      mirrorJaccard = m.getOrElse("mirrorJaccard", "0.8").toDouble,
       spans = m.getOrElse("spans", "false").toBoolean,
       spanSep = m.getOrElse("spanSep", "\\n{2,}"),
       quality = m.getOrElse("quality", "heuristic"),

@@ -1014,6 +1014,37 @@ class DedupSpec extends AnyFunSuite {
       rep(0).getAs[Long]("after_spans") == 5)
   }
 
+  test("CurateJob --mirrors drops the re-hosted source; the keeper survives") {
+    // mirror_a re-hosts source a's CONTENT re-chunked: no doc-level
+    // near-dup pair exists, but the domain gram unions match
+    val rows = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliett kilo lima", "a"),
+      (2L, "mike november oscar papa quebec romeo sierra tango uniform " +
+        "victor whiskey xray", "a"),
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+        "tango uniform victor whiskey xray", "mirror_a"),
+      (4L, "yankee zulu one two three four five six seven eight nine ten " +
+        "eleven twelve", "b"))
+    val in = java.nio.file.Files.createTempDirectory("graft_cjm_in").toString
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_cjm_out").toString
+    val m = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out, mirrors = true,
+        mirrorJaccard = 0.7, minLen = 20, fullKeepLen = 10))
+    // source a keeps (2 surviving docs beat mirror_a's 1); b untouched
+    assert(m("after_mirrors") == 3 && m("kept") == 3, s"got $m")
+    val kept = spark.read.parquet(s"$out/kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L), s"got $kept")
+    // without the stage the mirror sails through
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cjm_o2").toString
+    val m2 = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out2, minLen = 20, fullKeepLen = 10))
+    assert(m2("kept") == 4, s"got $m2")
+  }
+
   test("CurateJob: near-dup, span, and learned-quality stages in the funnel") {
     // the learned head is trained on the LangGen corpus distribution —
     // in-distribution sentences are the positives here (arbitrary English
