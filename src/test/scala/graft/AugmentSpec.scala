@@ -183,6 +183,69 @@ class AugmentSpec extends AnyFunSuite {
       hits(index()).toString)
   }
 
+  test("logMelFbank: tones land in the right mel channel, codec-invariant, " +
+       "silence reads the floor, frames count exactly") {
+    import spark.implicits._
+    val sr = 8000
+    def s16(x: Double): Short = {
+      val v = math.round(x * 32768.0)
+      (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+    }
+    def tone(ms: Int, f: Double): Array[Short] =
+      Array.tabulate(sr * ms / 1000)(i =>
+        s16(0.4 * math.sin(2 * math.Pi * f * i / sr)))
+    def mk(id: String, pcm: Array[Short], codec: String) =
+      (id, Codecs.encode(codec, pcm), sr, pcm.length * 1000 / sr, codec, "t")
+    val rows = Seq(
+      mk("t1k", tone(1000, 1000.0), "pcm_s16le"),
+      mk("t1k_ulaw", tone(1000, 1000.0), "ulaw8"),
+      mk("t300", tone(1000, 300.0), "pcm_s16le"),
+      ("sil", Codecs.encode("pcm_s16le", Array.fill(sr)(0.toShort)),
+        sr, 1000, "pcm_s16le", "t"))
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+
+    val out = graft.pipeline.AudioFeatures.logMelFbank(rows).collect()
+    val byClip = out.groupBy(_.clip_id)
+    // frame count: (8000 - 512)/256 + 1 = 30, n_frames rides along
+    assert(byClip("t1k").length == 30 && byClip("t1k").head.n_frames == 30)
+    // per-clip mean channel energies
+    def meanCh(id: String): Array[Double] = {
+      val fs = byClip(id)
+      Array.tabulate(26)(c => fs.map(_.fbank(c).toDouble).sum / fs.length)
+    }
+    val m1k = meanCh("t1k")
+    val m300 = meanCh("t300")
+    // the 1 kHz argmax channel's center must sit nearest 1 kHz among
+    // channel centers (recomputed with the op's own filter layout)
+    val centers = {
+      def hzToMel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+      def melToHz(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+      Array.tabulate(26)(c => melToHz(
+        hzToMel(20.0) + (hzToMel(4000.0) - hzToMel(20.0)) * (c + 1) / 27))
+    }
+    val arg1k = m1k.indexOf(m1k.max)
+    val nearest1k = centers.zipWithIndex.minBy(p => math.abs(p._1 - 1000.0))._2
+    assert(math.abs(arg1k - nearest1k) <= 1,
+      s"1 kHz peak channel $arg1k vs nearest-center $nearest1k")
+    // a lower tone peaks in a lower channel, with clear separation
+    val arg300 = m300.indexOf(m300.max)
+    assert(arg300 < arg1k, s"300 Hz channel $arg300 !< 1 kHz channel $arg1k")
+    // µ-law re-encode peaks in the same channel (codec invariance)
+    val mU = meanCh("t1k_ulaw")
+    assert(mU.indexOf(mU.max) == arg1k, "codec must not move the peak")
+    // silence reads the eps floor everywhere
+    val sil = meanCh("sil")
+    assert(sil.forall(v => math.abs(v - math.log(1e-10)) < 1e-6),
+      s"silence floor: ${sil.mkString(",")}")
+    // determinism: a second run is bit-identical
+    val again = graft.pipeline.AudioFeatures.logMelFbank(rows).collect()
+      .groupBy(_.clip_id)
+    byClip("t1k").sortBy(_.frame_idx).zip(again("t1k").sortBy(_.frame_idx))
+      .foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a.fbank, b.fbank))
+      }
+  }
+
   private def clips(n: Int) = {
     import spark.implicits._
     val params = ClipGen.Params(n, seed = 11, maxDurMs = 1500)
