@@ -140,6 +140,26 @@ object SparkEntry {
         .orderBy("clip_id", "aug_idx")
     }),
 
+    // ---- acoustic features + pooled clip embeddings (rows-only) ----------
+    // the feature-extract surface: log-mel fbank frames pooled to one
+    // floor-lifted (mean ++ std) vector per clip — the bridge from the
+    // audio payload into the embedding dedup/ANN family. Fixed 500-clip /
+    // 2 s fixture at every scale: the per-FRAME blowup of 30 s clips is
+    // the feature table's business, not this smoke row's
+    "clips_fbank_embedding" -> ((s, dir) => {
+      import s.implicits._
+      val params = ClipGen.Params(500, maxDurMs = 2000)
+      val clips = s.range(0, params.n, 1,
+        math.max(8, s.sparkContext.defaultParallelism))
+        .map(i => ClipGen.row(i, params)).toDF()
+      val frames = graft.pipeline.AudioFeatures.logMelFbank(clips)
+      graft.pipeline.AudioFeatures.clipEmbedding(frames)
+        .select(col("clip_id"), size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4)
+            .as("ch0_mean"))
+        .orderBy("clip_id")
+    }),
+
     // ---- aggregations (G9-G11 analogs) -----------------------------------
     "q_pricing_summary" -> ((s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))
