@@ -490,6 +490,19 @@ object SparkEntry {
             "doc_id", "text", chunkWords = 10))
         .orderBy("id")),
 
+    // ---- ExactSubstr duplicated-window removal (Lee et al. 2022) ---------
+    // sub-span-granularity verbatim-reuse removal that span dedup misses:
+    // any duplicated 8-token window masks its tokens everywhere but one
+    // canonical copy; per-token mask + the cleaned reassembly
+    "q_docs_substr_mask" -> ((s, dir) =>
+      graft.pipeline.ExactSubstr.mask(spanCorpus(s, dir),
+          "doc_id", "text", k = 8)
+        .orderBy("id")),
+    "q_docs_substr_clean" -> ((s, dir) =>
+      graft.pipeline.ExactSubstr.clean(spanCorpus(s, dir),
+          "doc_id", "text", k = 8)
+        .orderBy("id")),
+
     // ---- TF-IDF top terms (corpus keyword profiling) ---------------------
     // tf·ln(N/df) with deterministic (score desc, term asc) ranking: term
     // stats from two map-side-combined aggregates + a broadcast scalar —
@@ -1654,6 +1667,20 @@ object SparkEntry {
         |FROM d JOIN sp ON sp.id = d.id AND sp.span_idx = d.span_idx
         |WHERE d.id = d.keeper_id AND d.span_idx = d.keeper_span_idx
         |GROUP BY d.id ORDER BY d.id""".stripMargin,
+    // ExactSubstr: DuckDB rebuilds the planted corpus, hashes every
+    // 8-token window, elects the min-(id,pos) canonical copy per
+    // duplicated window text, and replays the ROWS-frame running-max
+    // coverage — per-token mask parity, then the cleaned reassembly
+    "q_docs_substr_mask" ->
+      s"""$substrCte
+        |SELECT id, count(*) AS n_tokens,
+        |  CAST(sum(covered) AS BIGINT) AS n_removed,
+        |  string_agg(CAST(covered AS VARCHAR), '' ORDER BY pos) AS mask
+        |FROM cov GROUP BY id ORDER BY id""".stripMargin,
+    "q_docs_substr_clean" ->
+      s"""$substrCte
+        |SELECT id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        |FROM cov WHERE covered = 0 GROUP BY id ORDER BY id""".stripMargin,
     // TF-IDF: tf from per-doc term counts, df from distinct docs per term,
     // N as a scalar; identical double math (tf · ln(N/df)) in both engines
     "q_docs_tfidf" ->
@@ -2543,6 +2570,50 @@ object SparkEntry {
       |  FROM h
       |  WINDOW win AS (PARTITION BY span_hash ORDER BY id, span_idx
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))""".stripMargin
+
+  /** ExactSubstr replay over the same planted corpus as [[spanCte]]:
+    * filtered single-space tokens with 1-based positions, md5 over every
+    * 8-token window, min-(id,pos) keeper election per duplicated window
+    * text, and the k-1-PRECEDING running-max coverage frame — identical
+    * coordinates and math to [[graft.pipeline.ExactSubstr]]. */
+  private val substrCte: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id < 20
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, text || ' xqz' AS text
+      |  FROM documents WHERE doc_id < 20),
+      |w AS (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), x -> x <> '') AS fw
+      |      FROM all_docs),
+      |tok AS (
+      |  SELECT doc_id AS id, CAST(j AS BIGINT) AS pos,
+      |    fw[CAST(j AS INTEGER)] AS tok
+      |  FROM (SELECT doc_id, fw, unnest(generate_series(1, len(fw))) AS j
+      |        FROM w)),
+      |win AS (
+      |  SELECT doc_id AS id, CAST(j AS BIGINT) AS pos,
+      |    md5(array_to_string(
+      |      fw[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)], ' ')) AS h
+      |  FROM (SELECT doc_id, fw, unnest(generate_series(1, len(fw) - 7)) AS j
+      |        FROM w WHERE len(fw) >= 8)),
+      |d AS (
+      |  SELECT id, pos, h,
+      |    first_value(id) OVER wk AS keeper_id,
+      |    first_value(pos) OVER wk AS keeper_pos,
+      |    count(*) OVER (PARTITION BY h) AS n_copies
+      |  FROM win
+      |  WINDOW wk AS (PARTITION BY h ORDER BY id, pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |st AS (SELECT id, pos FROM d
+      |       WHERE n_copies >= 2 AND NOT (id = keeper_id AND pos = keeper_pos)),
+      |cov AS (
+      |  SELECT t.id, t.pos, t.tok,
+      |    max(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY t.id ORDER BY t.pos
+      |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      |  FROM tok t LEFT JOIN st s ON s.id = t.id AND s.pos = t.pos)""".stripMargin
 
   /** Exact cosine top-5 ground truth, shared by the exact kNN query and the
     * two ANN queries at their recall-1 driver parameterizations. */

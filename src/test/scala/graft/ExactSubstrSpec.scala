@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ExactSubstr
+
+class ExactSubstrSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // doc 1 and doc 2 share an exact 4-token run ("p q r s") embedded in
+  // otherwise-distinct text; doc 3 is unrelated; doc 4 repeats the run
+  // INSIDE itself twice
+  private def corpus = Seq(
+    (1L, "a b p q r s c d"),
+    (2L, "e f p q r s g h"),
+    (3L, "t u v w x y z zz"),
+    (4L, "p q r s m n p q r s")
+  ).toDF("doc_id", "text")
+
+  test("windows: k-grams at 1-based starts, short docs contribute none") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val out = ExactSubstr.windows(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (1L, 2L)), s"got $out")
+  }
+
+  test("keepOne: canonical min-(id,pos) copy survives, every other masked") {
+    val m = ExactSubstr.mask(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // doc 1 holds the canonical "p q r s" (smallest id) → nothing removed
+    assert(m(1L) == "00000000", s"doc1 ${m(1L)}")
+    // doc 2's copy is masked: positions 3..6
+    assert(m(2L) == "00111100", s"doc2 ${m(2L)}")
+    // doc 3 shares nothing
+    assert(m(3L) == "00000000", s"doc3 ${m(3L)}")
+    // doc 4: both its occurrences are non-canonical → 1..4 and 7..10
+    // masked, the bridge "m n" kept
+    assert(m(4L) == "1111001111", s"doc4 ${m(4L)}")
+  }
+
+  test("clean reassembles survivors; keepOne=false masks the canonical too") {
+    val c = ExactSubstr.clean(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c(1L) == "a b p q r s c d")
+    assert(c(2L) == "e f g h")
+    assert(c(4L) == "m n")
+    val all = ExactSubstr.mask(corpus, "doc_id", "text", k = 4,
+        keepOne = false)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(all(1L) == "00111100", s"doc1 all ${all(1L)}")
+    assert(all(2L) == "00111100", s"doc2 all ${all(2L)}")
+  }
+
+  test("all-duplicate document vanishes from clean output") {
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val c = ExactSubstr.clean(df, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c == Map(1L -> "a b c d e"), s"got $c")
+  }
+
+  test("overlapping dup windows coalesce into one covered run") {
+    // shared 5-token run with k=4 → two overlapping dup windows in doc 2;
+    // coverage must be the union 1..5, not double-counted or gapped
+    val df = Seq(
+      (1L, "p q r s t x1 y1"),
+      (2L, "p q r s t x2 y2")
+    ).toDF("doc_id", "text")
+    val m = ExactSubstr.mask(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m(1L) == "0000000", s"doc1 ${m(1L)}")
+    assert(m(2L) == "1111100", s"doc2 ${m(2L)}")
+  }
+
+  test("plan: only token-width rows shuffle — no document text in exchanges") {
+    // the dedup aggregation sees (id, pos, md5) window rows only; the
+    // coverage join/window shuffles (id, pos, tok) single-token rows —
+    // document-width strings never cross an exchange.
+    // AQE off for a deterministic static plan with materialized exchanges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shuffles = ExactSubstr.mask(corpus, "doc_id", "text", k = 4)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(shuffles.nonEmpty, "expected at least one exchange")
+      shuffles.foreach { e =>
+        assert(!e.child.output.map(_.name).contains("text"),
+          s"document text crosses an exchange: ${e.child.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
