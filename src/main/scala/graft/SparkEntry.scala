@@ -734,6 +734,33 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- distribution-drift monitor (PSI) --------------------------------
+    // the per-batch ingest audit: PSI between the full corpus and the
+    // Gopher-kept subset over word-count buckets — "what did the gate do
+    // to the length distribution it kept?"; Σ psi = the index, read
+    // against the standard 0.1 / 0.25 traffic lights
+    "q_docs_drift" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val ws = filter(split(lower(col("text")), "\\s+"), w => w =!= lit(""))
+      val nWords = size(ws)
+      val wordChars = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+      val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+      val hashes = length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))
+      val stops = Seq("the", "a", "be", "to", "of", "and", "that", "with")
+      val nStop = stops.map(st =>
+        when(array_contains(ws, st), 1).otherwise(0)).reduce(_ + _)
+      val meanWl = wordChars.cast(DoubleType) / nWords
+      val alphaFrac = alphaWords.cast(DoubleType) / nWords
+      val keep = nWords >= 10 && nWords <= 100000 &&
+        meanWl >= 3.0 && meanWl <= 10.0 &&
+        alphaFrac >= 0.8 && hashes.cast(DoubleType) / nWords <= 0.1 &&
+        nStop >= 2
+      graft.pipeline.TextProfile.psiDrift(d, d.filter(keep),
+          nWords.cast(DoubleType), bucketWidth = 10.0, nBuckets = 20)
+        .orderBy("bucket")
+    }),
+
     // ---- corpus vocabulary (tokenizer-training input) --------------------
     // top-100 word types by frequency with deterministic ties — the
     // term-count table a BPE/unigram tokenizer trains from. One explode +
@@ -1911,6 +1938,53 @@ object SparkEntry {
         |  CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
         |  round(CAST(sum(CAST(keep AS BIGINT)) AS DOUBLE) / count(*), 6) AS keep_rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // PSI drift: DuckDB recomputes the Gopher keep bit, buckets word
+    // counts on both populations, clamps shares at 1e-6, and replays the
+    // (p_cur − p_ref)·ln(p_cur/p_ref) double math — identical in both
+    // engines, round 6
+    "q_docs_drift" ->
+      """WITH w AS (
+        |  SELECT text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT len(ws) AS n_words,
+        |    list_sum(list_transform(ws, x -> length(x))) AS word_chars,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT)
+        |      + CAST(list_contains(ws, 'be') AS INT) + CAST(list_contains(ws, 'to') AS INT)
+        |      + CAST(list_contains(ws, 'of') AS INT) + CAST(list_contains(ws, 'and') AS INT)
+        |      + CAST(list_contains(ws, 'that') AS INT) + CAST(list_contains(ws, 'with') AS INT)
+        |      AS n_stop
+        |  FROM w),
+        |k AS (
+        |  SELECT n_words,
+        |    (n_words >= 10 AND n_words <= 100000
+        |      AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+        |      AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+        |      AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+        |      AND CAST(hashes AS DOUBLE) / n_words <= 0.1
+        |      AND n_stop >= 2) AS keep
+        |  FROM m),
+        |r AS (SELECT least(greatest(CAST(floor(CAST(n_words AS DOUBLE) / 10.0)
+        |               AS BIGINT), 0), 19) AS bucket,
+        |        count(*) AS n_ref FROM k GROUP BY 1),
+        |c AS (SELECT least(greatest(CAST(floor(CAST(n_words AS DOUBLE) / 10.0)
+        |               AS BIGINT), 0), 19) AS bucket,
+        |        count(*) AS n_cur FROM k WHERE keep GROUP BY 1),
+        |j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+        |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |      FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+        |p AS (SELECT bucket, n_ref, n_cur,
+        |        greatest(CAST(n_ref AS DOUBLE) / sum(n_ref) OVER (), 1e-6) AS pr,
+        |        greatest(CAST(n_cur AS DOUBLE) / sum(n_cur) OVER (), 1e-6) AS pc
+        |      FROM j)
+        |SELECT bucket, n_ref, n_cur,
+        |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+        |  round((pc - pr) * ln(pc / pr), 6) AS psi
+        |FROM p ORDER BY bucket""".stripMargin,
     // vocabulary: same split regex, same (n DESC, word) deterministic order
     "q_docs_vocab" ->
       """WITH w AS (

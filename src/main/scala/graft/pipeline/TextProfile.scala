@@ -621,4 +621,50 @@ object TextProfile {
       count(lit(1)).as("n_tri"),
       round(-sum(col("lp")).cast("double") / count(lit(1)), 6).as("nll"))
   }
+
+  /** Distribution-drift monitor: Population Stability Index between a
+    * reference population and a current one, over a bucketed numeric
+    * metric — the audit a 100 TB ingest runs per batch ("did today's
+    * crawl shift the length/quality distribution?") and per filter
+    * ("what did the gate do to the distribution it kept?"). PSI =
+    * Σ_buckets (p_cur − p_ref)·ln(p_cur/p_ref); the standard traffic-light
+    * reading is < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * `metric` is any numeric column expression evaluated against BOTH
+    * frames; bucket = clamp(floor(metric/bucketWidth), 0, nBuckets−1).
+    * Shares are clamped at `eps` before the log so empty buckets are
+    * well-defined (the usual PSI convention). Per-bucket output (bucket,
+    * n_ref, n_cur, p_ref, p_cur, psi), `sum(psi)` = the index.
+    *
+    * Shape: one map-side-combined count per side (each a single pass, no
+    * text ever shuffles — only (bucket, count) rows), a ≤ nBuckets-row
+    * full-outer join, and window totals over those same ≤ nBuckets rows.
+    * 100 TB-safe by construction: everything after the two scans is
+    * bucket-cardinality-sized. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, metric: Column,
+               bucketWidth: Double, nBuckets: Int,
+               eps: Double = 1e-6): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth")
+    require(nBuckets >= 2, s"nBuckets $nBuckets")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(least(greatest(floor(metric / bucketWidth), lit(0)),
+          lit(nBuckets - 1)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val joined = counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val pRef = greatest(col("n_ref").cast("double") / sum("n_ref").over(w),
+      lit(eps))
+    val pCur = greatest(col("n_cur").cast("double") / sum("n_cur").over(w),
+      lit(eps))
+    joined.select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi"))
+  }
 }

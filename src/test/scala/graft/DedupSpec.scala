@@ -1599,4 +1599,28 @@ class DedupSpec extends AnyFunSuite {
     assert(sk.toSet == exact.toSet, s"sketch ${sk.mkString(",")} vs " +
       s"exact ${exact.mkString(",")}")
   }
+
+  test("psiDrift: identical populations score 0, planted shift scores high") {
+    val ref = (1 to 100).map(i => i % 50).toDF("v")
+    // same distribution → every bucket's psi is exactly 0
+    val same = graft.pipeline.TextProfile.psiDrift(ref, ref,
+        col("v").cast("double"), bucketWidth = 10.0, nBuckets = 5)
+      .collect()
+    assert(same.length == 5)
+    assert(same.forall(r => r.getDouble(5) == 0.0),
+      s"got ${same.map(_.getDouble(5)).mkString(",")}")
+    assert(same.forall(r => r.getLong(1) == 20L && r.getLong(2) == 20L))
+    // cur collapsed into the low buckets → large positive index; the
+    // emptied high buckets hit the eps clamp, not a NaN/-Inf
+    val cur = (1 to 100).map(i => i % 10).toDF("v")
+    val drift = graft.pipeline.TextProfile.psiDrift(ref, cur,
+        col("v").cast("double"), bucketWidth = 10.0, nBuckets = 5)
+      .collect().sortBy(_.getLong(0))
+    val idx = drift.map(_.getDouble(5)).sum
+    assert(idx > 0.25, s"index $idx") // "shifted" on the standard lights
+    assert(drift.forall(r => !r.getDouble(5).isNaN &&
+      !r.getDouble(5).isInfinite))
+    // ref-only buckets present with n_cur = 0
+    assert(drift.count(_.getLong(2) == 0L) == 4, drift.mkString(";"))
+  }
 }
