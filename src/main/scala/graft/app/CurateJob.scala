@@ -17,7 +17,7 @@ import graft.text.Scrubber
   *     [--ref <eval/benchmark parquet>] [--refText text] \
   *     [--neardup true] [--minJaccard 0.5] \
   *     [--mirrors true] [--source source] [--mirrorJaccard 0.8] \
-  *     [--spans true] [--spanSep '\n{2,}'] \
+  *     [--spans true] [--spanSep '\n{2,}'] [--substr 8] \
   *     [--quality heuristic|learned] [--minQuality 0.5] \
   *     [--minLen 50] [--maxPunctRatio 0.1] [--fullKeepLen 400] \
   *     [--ccnet true] [--stratum lang] [--nBuckets 3] [--keepBuckets 2] \
@@ -45,6 +45,11 @@ import graft.text.Scrubber
   *   5. span dedup     — (--spans) drop duplicated paragraphs across the
   *                       corpus and reassemble each document from its
   *                       surviving spans; all-boilerplate docs vanish
+  *   5b. substr dedup  — (--substr k, k ≥ 2) ExactSubstr pass (Lee et al.
+  *                       2022): any k-token window duplicated corpus-wide
+  *                       keeps one canonical copy and is cut everywhere
+  *                       else — verbatim reuse below span granularity;
+  *                       fully-cut docs vanish
   *   6. quality gate   — heuristic: length ≥ minLen and punct ratio ≤
   *                       maxPunctRatio; learned: the trained quality head
   *                       (broadcast artifact) score ≥ minQuality, plus the
@@ -79,6 +84,7 @@ object CurateJob {
       mirrors: Boolean = false, sourceCol: String = "source",
       mirrorJaccard: Double = 0.8,
       spans: Boolean = false, spanSep: String = "\\n{2,}",
+      substrK: Int = 0,
       quality: String = "heuristic", minQuality: Double = 0.5,
       minLen: Int = 50, maxPunctRatio: Double = 0.1, fullKeepLen: Int = 400,
       ccnet: Boolean = false, stratum: Option[String] = None,
@@ -87,6 +93,8 @@ object CurateJob {
       smallGraphLimit: Long = 2000000L)
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
+    require(a.substrK == 0 || a.substrK >= 2,
+      s"--substr ${a.substrK}: window size must be >= 2 (0 disables)")
     val docs = spark.read.parquet(a.input)
     val nIn = docs.count()
 
@@ -180,6 +188,14 @@ object CurateJob {
         cur.count()
       } else nNearDup
 
+      val nSubstr = if (a.substrK >= 2) {
+        // cut every non-canonical duplicated k-token window (tokens only
+        // ever shuffle one word wide); docs reduced to nothing vanish
+        cur = graft.pipeline.ExactSubstr.clean(cur, "id", "sc", a.substrK)
+          .select(col("id"), col("cleaned_text").as("sc"))
+        cur.count()
+      } else nSpans
+
       // gate scalars are (re)computed here: the spans stage rewrites text
       val gated = cur.select(col("id"), col("sc"),
         length(col("sc")).as("lc"),
@@ -243,14 +259,15 @@ object CurateJob {
         "rows_in" -> nIn, "after_decontaminate" -> nClean,
         "after_dedup" -> nDeduped, "after_neardup" -> nNearDup,
         "after_mirrors" -> nMirrors,
-        "after_spans" -> nSpans, "after_quality" -> nQuality,
+        "after_spans" -> nSpans, "after_substr" -> nSubstr,
+        "after_quality" -> nQuality,
         "after_ccnet" -> nBucketsN, "after_mix" -> nMix, "kept" -> nKept)
       spark.createDataFrame(
-          Seq((nIn, nClean, nDeduped, nNearDup, nMirrors, nSpans, nQuality,
-            nBucketsN, nMix, nKept)))
+          Seq((nIn, nClean, nDeduped, nNearDup, nMirrors, nSpans, nSubstr,
+            nQuality, nBucketsN, nMix, nKept)))
         .toDF("rows_in", "after_decontaminate", "after_dedup",
-          "after_neardup", "after_mirrors", "after_spans", "after_quality",
-          "after_ccnet", "after_mix", "kept")
+          "after_neardup", "after_mirrors", "after_spans", "after_substr",
+          "after_quality", "after_ccnet", "after_mix", "kept")
         .write.mode("overwrite").parquet(s"${a.output}/report")
       counts
     } finally scr.unpersist(blocking = false)
@@ -272,6 +289,7 @@ object CurateJob {
       mirrorJaccard = m.getOrElse("mirrorJaccard", "0.8").toDouble,
       spans = m.getOrElse("spans", "false").toBoolean,
       spanSep = m.getOrElse("spanSep", "\\n{2,}"),
+      substrK = m.getOrElse("substr", "0").toInt,
       quality = m.getOrElse("quality", "heuristic"),
       minQuality = m.getOrElse("minQuality", "0.5").toDouble,
       minLen = m.getOrElse("minLen", "50").toInt,

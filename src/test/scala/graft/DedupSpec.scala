@@ -1045,6 +1045,34 @@ class DedupSpec extends AnyFunSuite {
     assert(m2("kept") == 4, s"got $m2")
   }
 
+  test("CurateJob --substr cuts duplicated windows, keeps one canonical copy") {
+    val run10 = "quoted passage lifted verbatim across documents again and " +
+      "again everywhere" // 10 tokens → three dup 8-windows when shared
+    val rows = Seq(
+      (1L, "first document original framing words precede the reuse " + run10),
+      (2L, "second document other original framing words precede " + run10),
+      (3L, run10)) // nothing but the duplicated run → vanishes
+    val in = java.nio.file.Files.createTempDirectory("graft_cjs_in").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_cjs_out").toString
+    val m = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out, substrK = 8,
+        minLen = 20, fullKeepLen = 10))
+    assert(m("after_substr") == 2 && m("kept") == 2, s"got $m")
+    val kept = spark.read.parquet(s"$out/kept")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the canonical copy intact; doc 2's copy is cut
+    assert(kept(1L).endsWith(run10), s"doc1: ${kept(1L)}")
+    assert(kept(2L) == "second document other original framing words precede",
+      s"doc2: ${kept(2L)}")
+    // window size 1 is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.app.CurateJob.run(spark,
+        graft.app.CurateJob.Args(in, out, substrK = 1))
+    }
+    assert(err.getMessage.contains("--substr"))
+  }
+
   test("CurateJob: near-dup, span, and learned-quality stages in the funnel") {
     // the learned head is trained on the LangGen corpus distribution —
     // in-distribution sentences are the positives here (arbitrary English
