@@ -241,4 +241,32 @@ object FilterJob {
     * written table, aggregated map-side. */
   def lineageOf(spark: SparkSession, table: String): DataFrame =
     FilterPipeline.lineage(readDecisions(spark, table))
+
+  /** Ingest-drift audit: PSI of the batch committed AFTER snapshot
+    * `afterId` against the corpus as of `afterId`, over any numeric
+    * decision column (duration, confidence, perplexity, …) — the
+    * stop-the-line monitor a 10^12-clip ingest runs per commit: a shifted
+    * index (> 0.25 on the standard lights) means today's data does not
+    * look like the table it is joining, BEFORE downstream training eats
+    * it. Pure read-side composition: two snapshot-pinned scans feeding
+    * [[graft.pipeline.TextProfile.psiDrift]] (bucket-count rows only
+    * after the scans); nothing is written and no metadata changes. */
+  def driftSince(spark: SparkSession, table: String, afterId: Long,
+                 metric: org.apache.spark.sql.Column, bucketWidth: Double,
+                 nBuckets: Int): DataFrame = {
+    val base = SnapshotTable.snapshotAt(table, afterId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot v$afterId missing from $table metadata log"))
+    val refDirs = base.committedChunks.toSeq.sorted
+      .map(SnapshotTable.chunkDir(table, _))
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    require(refDirs.nonEmpty, s"snapshot v$afterId has no data chunks")
+    val curDirs = SnapshotTable.incrementalDataDirs(table, afterId)
+    require(curDirs.nonEmpty, s"no batch committed after v$afterId — " +
+      "nothing to audit")
+    def read(dirs: Seq[String]) =
+      spark.read.option("basePath", table + "/data").parquet(dirs: _*)
+    graft.pipeline.TextProfile.psiDrift(
+      read(refDirs), read(curDirs), metric, bucketWidth, nBuckets)
+  }
 }

@@ -118,6 +118,36 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("driftSince: PSI of the post-snapshot batch vs the pinned corpus") {
+    val spark = SparkTestBase.spark
+    val input = tmpDir("graft-in-drift")
+    GenMain.generate(spark, input,
+      ClipGen.Params(160, seed = 31, maxDurMs = 1200), files = 8)
+    val out = tmpDir("graft-out-drift") + "/t"
+    FilterJob.run(spark, FilterJob.JobArgs(input, out, chunks = 4,
+      saltBuckets = 4, parallelChunks = 1))
+    val drift = FilterJob.driftSince(spark, out, afterId = 1L,
+      metric = col("dur_ms").cast("double"), bucketWidth = 200.0,
+      nBuckets = 6).collect().sortBy(_.getLong(0))
+    // populations reconcile with the snapshot algebra
+    val full = FilterJob.readDecisions(spark, out)
+    val upTo1 = SnapshotTable.snapshotAt(out, 1L).get.committedChunks
+    val v1Rows = full.filter(col("chunk").isin(upTo1.toSeq: _*)).count()
+    assert(drift.map(_.getLong(1)).sum == v1Rows)
+    assert(drift.map(_.getLong(2)).sum == full.count() - v1Rows)
+    // same generator distribution on both sides → a finite, stable index
+    val idx = drift.map(_.getDouble(5)).sum
+    assert(!idx.isNaN && !idx.isInfinite && idx >= 0.0 && idx < 0.25,
+      s"index $idx: chunks of one generator read as shifted")
+    // no delta after the current snapshot → loud, not an empty frame
+    val curId = SnapshotTable.currentSnapshot(out).get.id
+    val err = intercept[IllegalArgumentException] {
+      FilterJob.driftSince(spark, out, afterId = curId,
+        metric = col("dur_ms"), bucketWidth = 200.0, nBuckets = 6)
+    }
+    assert(err.getMessage.contains("nothing to audit"))
+  }
+
   test("input listing is pinned to the committed snapshot (Iceberg-read semantic)") {
     val spark = SparkTestBase.spark
     val input = tmpDir("graft-in3")
