@@ -307,6 +307,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- code-switching detection (windowed LID) -------------------------
+    // document-level LID hides mixed-language documents (the CJK-spam-in-
+    // English-page failure mode): classify each 10-word window instead,
+    // elect the majority language deterministically (count DESC, lang ASC),
+    // and flag docs whose minority share reaches 20%. Windows are a pure
+    // per-row explode; everything after is (id, lang, count) rows.
+    "q_docs_code_switch" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val planted = d.union(d.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"),
+            lit(" зимний вечер тихо падал снег на крыши домов")).as("text")))
+      val w = graft.pipeline.Spans.wordChunks(planted, "doc_id", "text",
+        chunkWords = 10)
+      val lowerS = lower(col("span"))
+      val len = greatest(length(lowerS), lit(1))
+      val vowels = len - length(regexp_replace(lowerS, "[aeiou]", ""))
+      val nonAscii = length(regexp_replace(col("span"), "[\\x00-\\x7F]", ""))
+      val vr = vowels.cast(DoubleType) / len
+      val lang = when(nonAscii > 0, "non_latin")
+        .when(vr >= lit(0.35), "vowelish").otherwise("latin")
+      val perLang = w.select(col("id"), lang.as("lang"))
+        .groupBy("id", "lang").agg(count(lit(1)).as("n"))
+      val minority = lit(1.0) +
+        col("m.neg").cast(DoubleType) / col("n_windows")
+      perLang.groupBy("id").agg(
+          sum("n").as("n_windows"),
+          count(lit(1)).as("n_langs"),
+          min(struct((-col("n")).as("neg"), col("lang"))).as("m"))
+        .select(col("id"), col("n_windows"), col("n_langs"),
+          col("m.lang").as("major_lang"),
+          round(minority, 6).as("minority_frac"),
+          (col("n_langs") > 1 && minority >= 0.2).cast("int")
+            .as("code_switched"))
+        .orderBy("id")
+    }),
+
     // ---- token counting (training-data op) -------------------------------
     "q_docs_tokens" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -1428,6 +1465,45 @@ object SparkEntry {
         |       WHEN (length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))) / cast(greatest(length(lower(text)), 1) as double) >= 0.35 THEN 'vowelish'
         |       ELSE 'latin' END AS lang_guess
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // windowed LID: DuckDB re-chunks each doc (incl. the planted mixed
+    // docs) into 10-word windows, applies the identical per-window
+    // heuristic, and replays the deterministic majority election
+    "q_docs_code_switch" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    text || ' зимний вечер тихо падал снег на крыши домов' AS text
+        |  FROM documents WHERE doc_id < 15),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+        |sp AS (
+        |  SELECT doc_id AS id,
+        |    trim(array_to_string(ws[CAST(j*10+1 AS INTEGER):CAST(j*10+10 AS INTEGER)], ' ')) AS span
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0,
+        |            greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1, 0))) AS j
+        |        FROM w)
+        |  WHERE length(trim(array_to_string(ws[CAST(j*10+1 AS INTEGER):CAST(j*10+10 AS INTEGER)], ' '))) > 0),
+        |l AS (
+        |  SELECT id,
+        |    CASE WHEN length(regexp_replace(span, '[\x00-\x7F]', '', 'g')) > 0
+        |           THEN 'non_latin'
+        |         WHEN (length(lower(span)) - length(regexp_replace(lower(span), '[aeiou]', '', 'g')))
+        |             / CAST(greatest(length(lower(span)), 1) AS DOUBLE) >= 0.35
+        |           THEN 'vowelish'
+        |         ELSE 'latin' END AS lang
+        |  FROM sp),
+        |g AS (SELECT id, lang, count(*) AS n FROM l GROUP BY 1, 2),
+        |a AS (SELECT id, lang, n,
+        |        CAST(sum(n) OVER (PARTITION BY id) AS BIGINT) AS n_windows,
+        |        count(*) OVER (PARTITION BY id) AS n_langs,
+        |        row_number() OVER (PARTITION BY id ORDER BY n DESC, lang) AS rn
+        |      FROM g)
+        |SELECT id, n_windows, n_langs, lang AS major_lang,
+        |  round(1.0 - CAST(n AS DOUBLE) / n_windows, 6) AS minority_frac,
+        |  CASE WHEN n_langs > 1 AND 1.0 - CAST(n AS DOUBLE) / n_windows >= 0.2
+        |       THEN 1 ELSE 0 END AS code_switched
+        |FROM a WHERE rn = 1 ORDER BY id""".stripMargin,
     "q_docs_tokens" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
