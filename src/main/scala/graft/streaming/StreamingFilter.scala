@@ -229,4 +229,42 @@ object StreamingFilter {
         commitBatch(batch, batchId, table, partitionCols)
       }
       .start()
+
+  /** One micro-batch's drift rows, written idempotently (the kernel of
+    * [[driftSink]], exposed for direct replay testing): PSI of the batch
+    * against the static reference over `metric`, landed as the
+    * `batch_id=<id>` partition dir with overwrite — a replayed batch
+    * rewrites identical rows instead of appending duplicates. Empty
+    * batches write nothing (no distribution to audit). */
+  private[graft] def driftBatch(batch: DataFrame, batchId: Long,
+                                ref: DataFrame,
+                                metric: org.apache.spark.sql.Column,
+                                bucketWidth: Double, nBuckets: Int,
+                                outDir: String): Unit =
+    if (batch.take(1).nonEmpty)
+      graft.pipeline.TextProfile.psiDrift(ref, batch, metric,
+          bucketWidth, nBuckets)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Streaming ingest-drift monitor — [[graft.app.FilterJob.driftSince]]'s
+    * per-commit audit at micro-batch cadence: every batch is PSI'd
+    * against a STATIC reference population (yesterday's corpus, a golden
+    * sample) over any numeric column, and the per-bucket drift rows land
+    * under `outDir/batch_id=<id>/` (partition-discoverable with a
+    * basePath read; Σ psi per batch = that batch's index against the
+    * standard 0.1 / 0.25 lights). The reference is a static frame on the
+    * batch side of a foreachBatch, so no stream-side join/aggregation
+    * restrictions apply, and state is bounded by nBuckets per batch. */
+  def driftSink(decisions: DataFrame, ref: DataFrame,
+                metric: org.apache.spark.sql.Column,
+                bucketWidth: Double, nBuckets: Int,
+                outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    decisions.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftBatch(batch, batchId, ref, metric, bucketWidth, nBuckets,
+          outDir)
+      }
+      .start()
 }

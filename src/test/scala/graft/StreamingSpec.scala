@@ -298,4 +298,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(!Files.exists(orphanDir.resolve("part-junk.parquet")))
     assert(SnapshotTable.readAligned(spark, table).count() == 65)
   }
+
+  test("streaming drift monitor: per-batch PSI vs a static reference, " +
+       "idempotent under replay") {
+    val dir = Files.createTempDirectory("graft-drift-in").toString
+    GenMain.generate(spark, dir,
+      ClipGen.Params(60, seed = 29, maxDurMs = 1500), files = 3)
+    val model = spark.sparkContext.broadcast(TextModel.default)
+    val ref = FilterPipeline.decisions(
+      spark.read.schema(graft.app.FilterJob.clipSchema).parquet(dir)
+        .na.fill(Map("transcript" -> "")).as[graft.model.ClipRow](
+          org.apache.spark.sql.Encoders.product[graft.model.ClipRow]),
+      Presets.default, model).select("clip_id", "n_samples").toDF()
+    val out = Files.createTempDirectory("graft-drift-out").toString
+
+    val q = StreamingFilter.driftSink(
+      StreamingFilter.decisions(spark, dir, Presets.default, model)
+        .select("clip_id", "n_samples"),
+      ref, col("n_samples").cast("double"), bucketWidth = 4000.0, nBuckets = 6,
+      outDir = out,
+      checkpoint = Files.createTempDirectory("graft-drift-ckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+
+    // the stream carries the SAME population as the reference → every
+    // batch's index reads stable (the per-batch split only thins counts)
+    val rows = spark.read.option("basePath", out).parquet(out)
+    assert(rows.count() > 0)
+    val perBatch = rows.groupBy("batch_id")
+      .agg(org.apache.spark.sql.functions.sum("psi").as("idx"),
+        org.apache.spark.sql.functions.sum("n_ref").as("nr"))
+      .collect()
+    perBatch.foreach { r =>
+      val idx = r.getDouble(1)
+      assert(!idx.isNaN && idx < 0.25, s"batch ${r.get(0)} index $idx")
+      assert(r.getLong(2) == 60L, "reference population on every row set")
+    }
+
+    // replaying a committed batchId with DIFFERENT data rewrites its
+    // partition (no duplicate monitor rows accumulate)
+    val b0 = rows.select("batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue()).min
+    val nBefore = rows.count()
+    StreamingFilter.driftBatch(ref.limit(10).toDF(), b0, ref,
+      col("n_samples").cast("double"), 4000.0, 6, out)
+    val again = spark.read.option("basePath", out).parquet(out)
+    assert(again.filter(col("batch_id") === b0).count() <= 6)
+    assert(again.count() <= nBefore)
+    // empty batch writes nothing (no spurious partition)
+    StreamingFilter.driftBatch(ref.limit(0).toDF(), 999L, ref,
+      col("n_samples").cast("double"), 4000.0, 6, out)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/batch_id=999")))
+  }
 }
