@@ -160,6 +160,33 @@ object SparkEntry {
         .orderBy("clip_id")
     }),
 
+    // ---- acoustic-condition balanced sampling ----------------------------
+    // decode → fbank → clip embedding → deterministic k-means acoustic
+    // clusters → temperature-balanced sampling over the clusters (p ∝
+    // n^tau): the audio-side diversity move a speech-training curation
+    // makes so one dominant acoustic condition (codec/noise profile)
+    // doesn't swamp the mix; per-cluster in/sampled counts
+    "clips_acoustic_mix" -> ((s, dir) => {
+      import s.implicits._
+      val params = ClipGen.Params(500, maxDurMs = 2000)
+      val clips = s.range(0, params.n, 1,
+        math.max(8, s.sparkContext.defaultParallelism))
+        .map(i => ClipGen.row(i, params)).toDF()
+      val emb = graft.pipeline.AudioFeatures.clipEmbedding(
+        graft.pipeline.AudioFeatures.logMelFbank(clips))
+      val lab = graft.pipeline.Dedup.kmeansLabels(
+          emb, "clip_id", "embedding", k = 8)
+        .withColumn("cluster", col("cluster").cast("string"))
+      val mixed = graft.pipeline.TextProfile.temperatureMix(
+        lab, "id", "cluster", tau = 0.5, targetFrac = 0.5)
+      lab.groupBy("cluster").agg(count(lit(1)).as("n_clips"))
+        .join(mixed.groupBy("cluster").agg(count(lit(1)).as("n_sampled")),
+          Seq("cluster"), "left")
+        .select(col("cluster").cast("int").as("cluster"), col("n_clips"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("cluster")
+    }),
+
     // ---- aggregations (G9-G11 analogs) -----------------------------------
     "q_pricing_summary" -> ((s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))

@@ -316,6 +316,29 @@ class AugmentSpec extends AnyFunSuite {
     spark.range(n).map(i => ClipGen.row(i, params)).toDF()
   }
 
+  test("acoustic-mix query: clusters cover the corpus, balancing favors " +
+       "small clusters, deterministic") {
+    val fn = graft.SparkEntry.queries("clips_acoustic_mix")
+    val rows = fn(spark, "unused").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // decode-failing planted defects (bad_bytes) yield no fbank frames and
+    // so no embedding — everything that embeds gets labeled
+    assert(rows.map(_._2).sum >= 480L && rows.map(_._2).sum <= 500L,
+      s"labeled ${rows.map(_._2).sum} of 500")
+    assert(rows.forall { case (_, n, s) => s <= n && n > 0 })
+    // tau=0.5 balancing: a cluster at least 4x another's size must keep a
+    // rate no higher than the smaller one's (p ∝ n^-0.5 after normalizing)
+    val rates = rows.map { case (c, n, s) => (c, n, s.toDouble / n) }
+    for ((_, nBig, rBig) <- rates; (_, nSmall, rSmall) <- rates
+         if nBig >= 4 * nSmall)
+      assert(rBig <= rSmall + 0.05,
+        s"big cluster ($nBig @ $rBig) outkept small ($nSmall @ $rSmall)")
+    // content-stable end to end: identical table on a second run
+    val again = fn(spark, "unused").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+  }
+
   test("speedPerturb: 1.0 is a bit-identical pass-through for pcm clips; " +
        "0.9/1.1 scale duration by ~1/f; (clip_id, aug_idx) is a key") {
     import spark.implicits._
