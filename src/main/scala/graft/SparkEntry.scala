@@ -506,6 +506,23 @@ object SparkEntry {
         .orderBy("cluster_size")
     }),
 
+    // ---- quality-aware keeper election ------------------------------------
+    // per duplicate cluster, keep the BEST copy (highest score, ties →
+    // smallest id) instead of the arbitrary min-id member — score here is
+    // doc length, the simplest "longest variant wins" production policy;
+    // rides the session pair cache like the other cluster queries
+    "q_docs_keepers_quality" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val universe = d.union(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text")))
+      graft.pipeline.Dedup.keepersByScore(
+          graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir)),
+          universe.select(col("doc_id"), length(col("text")).as("len")),
+          "doc_id", "len")
+        .orderBy("comp")
+    }),
+
     // ---- containment near-dup (small-doc-inside-big-doc) -----------------
     // symmetric Jaccard misses a short document duplicated inside a long
     // one (J = |A|/|B|); the winnowing fingerprint index catches it —
@@ -1743,6 +1760,47 @@ object SparkEntry {
         |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM sing)
         |ORDER BY cluster_size""".stripMargin,
+    // quality-aware keeper election: the components recursive CTE joined
+    // to doc-length scores; DuckDB replays the (score DESC, id ASC)
+    // per-cluster election via row_number
+    "q_docs_keepers_quality" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 4)) AS i
+        |        FROM all_docs)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.id_a
+        |  JOIN sz sb ON sb.doc_id = i.id_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS comp
+        |         FROM reach GROUP BY u),
+        |j AS (SELECT c.comp, c.id, length(d.text) AS s
+        |      FROM comp c JOIN all_docs d ON d.doc_id = c.id),
+        |w AS (SELECT comp, id, s,
+        |        count(*) OVER (PARTITION BY comp) AS cluster_size,
+        |        row_number() OVER (PARTITION BY comp ORDER BY s DESC, id) AS rn
+        |      FROM j)
+        |SELECT comp, id AS keeper_id, s AS keeper_score,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM w WHERE rn = 1 ORDER BY comp""".stripMargin,
     // exact shingle-containment ground truth over docs ∪ planted 120-char
     // prefixes: |A∩B| / min(|A|,|B|) ≥ 0.9 — the winnowing-index engine
     // path must converge on the identical verified pair set

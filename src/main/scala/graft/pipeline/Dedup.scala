@@ -738,6 +738,29 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("comp").as("keeper_id"), col("cluster_size"))
 
+  /** Quality-aware keeper election: per duplicate cluster keep the member
+    * with the HIGHEST score (ties → smallest id) instead of the structural
+    * minimum id — what a production dedup actually wants ("keep the best
+    * copy", e.g. the longest, least-boilerplate, or highest-classifier
+    * variant), since the min-id copy is arbitrary. `labels` is a
+    * [[components]] (id, comp) frame; `scores` carries (idCol, scoreCol)
+    * for at least every labeled id (members without a score drop from the
+    * election — inner join, loud in counts). One skinny id-keyed join
+    * plus one map-side-combined `max(struct)` per cluster: the hot
+    * mega-cluster partially aggregates on the mappers, same shape as
+    * [[Spans.dedup]]'s election. */
+  def keepersByScore(labels: DataFrame, scores: DataFrame,
+                     idCol: String, scoreCol: String): DataFrame =
+    labels.join(
+        scores.select(col(idCol).cast("long").as("id"),
+          col(scoreCol).as("s")), Seq("id"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("s").as("score"), (-col("id")).as("neg"),
+          col("id").as("kid"))).as("m"))
+      .select(col("comp"), col("m.kid").as("keeper_id"),
+        col("m.score").as("keeper_score"), col("cluster_size"))
+
   // ---- embeddings ----------------------------------------------------------
 
   /** Per-dimension embedding-space statistics — the drift/health profile a

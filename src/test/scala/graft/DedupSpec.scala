@@ -1628,6 +1628,20 @@ class DedupSpec extends AnyFunSuite {
       s"exact ${exact.mkString(",")}")
   }
 
+  test("keepersByScore: best copy wins, ties break to smallest id") {
+    val labels = Seq((1L, 1L), (5L, 1L), (9L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("id", "comp")
+    val scores = Seq((1L, 10), (5L, 30), (9L, 30), (20L, 7), (21L, 7))
+      .toDF("doc_id", "q")
+    val out = graft.pipeline.Dedup.keepersByScore(labels, scores, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).sortBy(_._1)
+    // cluster 1: 5 and 9 tie at 30 → 5 wins (not min-id 1, not max-id 9)
+    // cluster 20: tie at 7 → min id 20
+    assert(out.toSeq == Seq((1L, 5L, 30, 3L), (20L, 20L, 7, 2L)),
+      s"got ${out.mkString(",")}")
+  }
+
   test("psiDrift: identical populations score 0, planted shift scores high") {
     val ref = (1 to 100).map(i => i % 50).toDF("v")
     // same distribution → every bucket's psi is exactly 0
