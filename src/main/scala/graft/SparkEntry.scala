@@ -815,6 +815,38 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- quality-score calibration audit ---------------------------------
+    // reliability table for a [0,1] quality score against the Gopher keep
+    // bit: per score decile, population, mean score, observed keep rate,
+    // and the |mean − observed| gap (Σ n/N·gap = ECE) — the audit run
+    // before a threshold sweep treats the score as a probability. The
+    // score here is a logistic over mean-word-length and punctuation
+    // (SQL-replayable end to end; the LEARNED head's table is gated
+    // bitwise against the JVM oracle in TextSpec instead)
+    "q_docs_calibration" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val ws = filter(split(lower(col("text")), "\\s+"), w => w =!= lit(""))
+      val nWords = greatest(size(ws), lit(1))
+      val wordChars = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+      val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+      val hashes = length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))
+      val stops = Seq("the", "a", "be", "to", "of", "and", "that", "with")
+      val nStop = stops.map(st =>
+        when(array_contains(ws, st), 1).otherwise(0)).reduce(_ + _)
+      val meanWl = wordChars.cast(DoubleType) / nWords
+      val keep = size(ws) >= 10 && size(ws) <= 100000 &&
+        meanWl >= 3.0 && meanWl <= 10.0 &&
+        alphaWords.cast(DoubleType) / nWords >= 0.8 &&
+        hashes.cast(DoubleType) / nWords <= 0.1 && nStop >= 2
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      val pr = punct.cast(DoubleType) / greatest(length(col("text")), lit(1))
+      val z = (meanWl - lit(4.5)) - pr * lit(8.0)
+      val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      graft.pipeline.TextProfile.calibrationTable(
+        d.select(score.as("s"), keep.as("y")), col("s"), col("y"), nBins = 10)
+    }),
+
     // ---- distribution-drift monitor (PSI) --------------------------------
     // the per-batch ingest audit: PSI between the full corpus and the
     // Gopher-kept subset over word-count buckets — "what did the gate do
@@ -2099,6 +2131,49 @@ object SparkEntry {
         |  CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
         |  round(CAST(sum(CAST(keep AS BIGINT)) AS DOUBLE) / count(*), 6) AS keep_rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // calibration: DuckDB recomputes the logistic score and the Gopher
+    // keep bit, clips the score to DECIMAL(18,6) exactly as the engine
+    // does, and replays the decile binning + decimal-exact averages
+    "q_docs_calibration" ->
+      """WITH w AS (
+        |  SELECT text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT text, len(ws) AS n_words,
+        |    greatest(len(ws), 1) AS n_words_c,
+        |    list_sum(list_transform(ws, x -> length(x))) AS word_chars,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT)
+        |      + CAST(list_contains(ws, 'be') AS INT) + CAST(list_contains(ws, 'to') AS INT)
+        |      + CAST(list_contains(ws, 'of') AS INT) + CAST(list_contains(ws, 'and') AS INT)
+        |      + CAST(list_contains(ws, 'that') AS INT) + CAST(list_contains(ws, 'with') AS INT)
+        |      AS n_stop
+        |  FROM w),
+        |k AS (
+        |  SELECT
+        |    CAST((n_words >= 10 AND n_words <= 100000
+        |      AND CAST(word_chars AS DOUBLE) / n_words_c >= 3.0
+        |      AND CAST(word_chars AS DOUBLE) / n_words_c <= 10.0
+        |      AND CAST(alpha_words AS DOUBLE) / n_words_c >= 0.8
+        |      AND CAST(hashes AS DOUBLE) / n_words_c <= 0.1
+        |      AND n_stop >= 2) AS INT) AS y,
+        |    CAST(round(1.0 / (1.0 + exp(-(
+        |      (CAST(word_chars AS DOUBLE) / n_words_c - 4.5)
+        |      - (CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |         / greatest(length(text), 1)) * 8.0))), 6) AS DECIMAL(18,6)) AS s
+        |  FROM m),
+        |b AS (
+        |  SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+        |    s, y FROM k)
+        |SELECT bin, count(*) AS n,
+        |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_score,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+        |  round(abs(round(CAST(sum(s) AS DOUBLE) / count(*), 6)
+        |          - round(CAST(sum(y) AS DOUBLE) / count(*), 6)), 6) AS gap
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // PSI drift: DuckDB recomputes the Gopher keep bit, buckets word
     // counts on both populations, clamps shares at 1e-6, and replays the
     // (p_cur − p_ref)·ln(p_cur/p_ref) double math — identical in both

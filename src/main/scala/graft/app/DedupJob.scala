@@ -11,7 +11,7 @@ import graft.pipeline.Dedup
   *
   *   spark-submit --class graft.app.DedupJob <jar> \
   *     --input <documents parquet> --output <dir> \
-  *     [--mode exact|minhash|simhash|fingerprint|containment|spans|semdedup|incremental|sourcemirror] \
+  *     [--mode exact|minhash|simhash|fingerprint|containment|spans|substr|semdedup|incremental|sourcemirror] \
   *     [--source source] [--sketch false] \
   *     [--id doc_id] [--text text] [--minJaccard 0.5] \
   *     [--minContainment 0.9] [--maxBucket 65536] [--maxDocFreq 65536] \
@@ -38,6 +38,9 @@ import graft.pipeline.Dedup
   *   span_verdicts/ span_masks/ cleaned/  (spans mode) span-level dedup
   *                 verdicts, the per-doc dup-span masks, and the
   *                 reassembled cleaned documents (duplicate spans removed)
+  *   masks/ cleaned/  (substr mode) ExactSubstr per-token removal masks
+  *                 and the cleaned reassembly — duplicated --chunkWords-
+  *                 token windows cut everywhere but one canonical copy
   *   summary printed as [dedup] lines (pair counts, dropped buckets).
   *
   * spans mode splits on --spanSep (regex; default blank-line paragraphs)
@@ -239,6 +242,15 @@ object DedupJob {
           "span_verdicts" -> write(d, "span_verdicts"),
           "span_masks" -> write(graft.pipeline.Spans.dupMask(d), "span_masks"),
           "cleaned" -> write(graft.pipeline.Spans.removeDups(sp), "cleaned"))
+      case "substr" =>
+        // ExactSubstr pass: duplicated --chunkWords-token windows cut
+        // everywhere but one canonical copy; masks/ is the per-token
+        // removal lineage, cleaned/ the reassembled survivors
+        Map(
+          "masks" -> write(graft.pipeline.ExactSubstr.mask(
+            docs, a.idCol, a.textCol, a.chunkWords), "masks"),
+          "cleaned" -> write(graft.pipeline.ExactSubstr.clean(
+            docs, a.idCol, a.textCol, a.chunkWords), "cleaned"))
       case other => sys.error(s"unknown --mode $other")
     }
   }

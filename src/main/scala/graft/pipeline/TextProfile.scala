@@ -622,6 +622,39 @@ object TextProfile {
       round(-sum(col("lp")).cast("double") / count(lit(1)), 6).as("nll"))
   }
 
+  /** Model-calibration reliability table — the audit run before trusting
+    * a quality classifier's scores as keep probabilities (threshold
+    * sweeps and mixture recipes both consume the score AS a probability,
+    * which is only sound if the model is calibrated): scores in [0, 1]
+    * bucketed into `nBins`, per bin the population, mean score, observed
+    * positive rate, and the |mean − observed| gap (Σ n/N·gap = ECE). A
+    * calibrated model's bins sit near the diagonal; a confident-but-wrong
+    * head shows top bins with frac_pos far below mean_score.
+    *
+    * Determinism: the score is clipped to DECIMAL(18,6) before both
+    * binning and averaging, so bin membership and mean_score are exact
+    * integer/decimal math — order-independent across partitions and
+    * bit-replayable by a second engine (the same discipline as
+    * [[lmSelfScore]]'s decimal log-probs). One map-side-combined
+    * aggregate; output is nBins rows. */
+  def calibrationTable(df: DataFrame, score: Column, label: Column,
+                       nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins $nBins")
+    import org.apache.spark.sql.types.DecimalType
+    val s = score.cast(DecimalType(18, 6))
+    val bin = least(greatest(floor(s * nBins), lit(0)), lit(nBins - 1))
+      .cast("long")
+    df.select(bin.as("bin"), s.as("s"), label.cast("int").as("y"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6)
+          .as("mean_score"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"))
+      .withColumn("gap", round(abs(col("mean_score") - col("frac_pos")), 6))
+      .orderBy("bin")
+  }
+
   /** Distribution-drift monitor: Population Stability Index between a
     * reference population and a current one, over a bucketed numeric
     * metric — the audit a 100 TB ingest runs per batch ("did today's

@@ -76,6 +76,18 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(m(2L) == "1111100", s"doc2 ${m(2L)}")
   }
 
+  test("DedupJob substr mode writes per-token masks and cleaned docs") {
+    val in = java.nio.file.Files.createTempDirectory("graft_djx_in").toString
+    corpus.write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_djx_out").toString
+    val m = graft.app.DedupJob.run(spark,
+      graft.app.DedupJob.Args(in, out, mode = "substr", chunkWords = 4))
+    assert(m("masks") == 4L && m("cleaned") == 4L, s"$m")
+    val cleaned = spark.read.parquet(s"$out/cleaned")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(2L) == "e f g h" && cleaned(4L) == "m n", s"got $cleaned")
+  }
+
   test("plan: only token-width rows shuffle — no document text in exchanges") {
     // the dedup aggregation sees (id, pos, md5) window rows only; the
     // coverage join/window shuffles (id, pos, tok) single-token rows —

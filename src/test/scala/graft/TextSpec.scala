@@ -68,6 +68,34 @@ class TextSpec extends AnyFunSuite {
       m.qualityB == m2.qualityB, "training must be deterministic")
   }
 
+  test("learned head reliability table: top bins near-pure positive, " +
+       "bottom near-pure negative") {
+    // the calibration audit q_docs_calibration runs with a SQL-replayable
+    // score; here the LEARNED head's table is gated against ground-truth
+    // labels (held-out natural text = 1, junk = 0), scores via the same
+    // JVM path the broadcast artifact uses
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val m = TextModel.default
+    val pos = LangGen.corpus(80, seed = 31337L).values.flatten.toSeq
+      .map(t => (m.qualityScore(t), 1))
+    val neg = TextModel.junkCorpus(240, seed = 424242L)
+      .map(t => (m.qualityScore(t), 0))
+    val df = (pos ++ neg).toDF("s", "y")
+    val rows = graft.pipeline.TextProfile.calibrationTable(
+        df, org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.col("y"), nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.map(_._2).sum == (pos.size + neg.size).toLong)
+    val byBin = rows.map(r => r._1 -> r._3).toMap
+    // a separating, directionally-calibrated head: the top decile is
+    // nearly all true positives, the bottom nearly none
+    assert(byBin.keySet.contains(9L) && byBin(9L) >= 0.95,
+      s"top bin frac_pos ${byBin.get(9L)}")
+    assert(byBin.keySet.contains(0L) && byBin(0L) <= 0.05,
+      s"bottom bin frac_pos ${byBin.get(0L)}")
+  }
+
   test("char PPL is monotone: garbled text scores higher than clean") {
     val rng = new Prng(31)
     val clean = (0 until 30).map { i =>
