@@ -571,6 +571,16 @@ object SparkEntry {
             "doc_id", "text", chunkWords = 10))
         .orderBy("id")),
 
+    // ---- boilerplate span removal (CCNet/Dolma DF-threshold) -------------
+    // spans in ≥ 3 DISTINCT docs are boilerplate and removed EVERYWHERE —
+    // including the copy span dedup would keep; the planted exact + tail-
+    // edited copies push the first-20 docs' full spans to df 3
+    "q_docs_span_boilerplate" -> ((s, dir) =>
+      graft.pipeline.Spans.removeBoilerplate(
+          graft.pipeline.Spans.wordChunks(spanCorpus(s, dir),
+            "doc_id", "text", chunkWords = 10), minDf = 3)
+        .orderBy("id")),
+
     // ---- ExactSubstr duplicated-window removal (Lee et al. 2022) ---------
     // sub-span-granularity verbatim-reuse removal that span dedup misses:
     // any duplicated 8-token window masks its tokens everywhere but one
@@ -1887,6 +1897,17 @@ object SparkEntry {
         |FROM d JOIN sp ON sp.id = d.id AND sp.span_idx = d.span_idx
         |WHERE d.id = d.keeper_id AND d.span_idx = d.keeper_span_idx
         |GROUP BY d.id ORDER BY d.id""".stripMargin,
+    // boilerplate: distinct-doc DF per span hash over the same planted
+    // corpus; df ≥ 3 spans excluded from every document's reassembly
+    "q_docs_span_boilerplate" ->
+      s"""$spanCte
+        |SELECT h.id, string_agg(sp.span, ' ' ORDER BY h.span_idx) AS cleaned_text
+        |FROM h JOIN sp ON sp.id = h.id AND sp.span_idx = h.span_idx
+        |WHERE h.span_hash NOT IN (
+        |  SELECT span_hash FROM (
+        |    SELECT span_hash, count(DISTINCT id) AS df FROM h GROUP BY 1)
+        |  WHERE df >= 3)
+        |GROUP BY h.id ORDER BY h.id""".stripMargin,
     // ExactSubstr: DuckDB rebuilds the planted corpus, hashes every
     // 8-token window, elects the min-(id,pos) canonical copy per
     // duplicated window text, and replays the ROWS-frame running-max

@@ -101,6 +101,39 @@ object Spans {
           x => x.getField("s")), joinWith).as("cleaned_text"))
   }
 
+  /** CCNet/Dolma-style boilerplate removal: spans occurring in ≥ `minDf`
+    * DISTINCT documents are boilerplate (nav chrome, licenses, cookie
+    * banners) and are removed from EVERY document — including the copy
+    * [[removeDups]] would have kept, which is the semantic difference:
+    * dedup keeps one canonical copy of repeated content; boilerplate
+    * removal judges the content itself worthless once it repeats widely
+    * enough. Distinct-doc DF (not occurrence count) so a doc repeating
+    * its own header does not self-promote to corpus boilerplate.
+    *
+    * Shape: the DF aggregate is map-side combined over (id, hash) rows;
+    * verdicts stay skinny through the anti join (text re-attaches only in
+    * the final (id, span_idx) join, as in [[removeDups]]). Fully-boiler
+    * documents vanish. */
+  def removeBoilerplate(spans: DataFrame, minDf: Long = 3,
+                        joinWith: String = " "): DataFrame = {
+    require(minDf >= 2, s"minDf $minDf: below 2 everything is boilerplate")
+    val hashed = spans
+      .withColumn("span_hash", md5(col("span")))
+      .select("id", "span_idx", "span_hash")
+    val boiler = hashed.groupBy("span_hash")
+      .agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("span_hash")
+    val keptIdx = hashed.join(boiler, Seq("span_hash"), "left_anti")
+      .select("id", "span_idx")
+    spans.join(keptIdx, Seq("id", "span_idx"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span").as("s")))),
+          x => x.getField("s")), joinWith).as("cleaned_text"))
+  }
+
   /** Per-document duplicate-span mask from `dedup` output — the reference's
     * emitted line mask, per doc: '0'/'1' per span in span order, plus
     * counts. A doc whose mask is all-'1' is pure boilerplate. */

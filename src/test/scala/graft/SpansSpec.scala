@@ -72,6 +72,30 @@ class SpansSpec extends AnyFunSuite {
       2L -> "unique beta"), s"got $cleaned")
   }
 
+  test("removeBoilerplate drops wide-DF spans everywhere; dedup would keep one") {
+    val df = Seq(
+      (1L, "cookie banner text\n\nreal content one"),
+      (2L, "cookie banner text\n\nreal content two"),
+      (3L, "cookie banner text\n\nreal content three"),
+      (4L, "cookie banner text"),                    // pure boilerplate
+      (5L, "narrow dup\n\nbody five"),
+      (6L, "narrow dup\n\nbody six"))                // df 2 < minDf 3 → kept
+    .toDF("doc_id", "text")
+    val spans = Spans.split(df, "doc_id", "text")
+    val out = Spans.removeBoilerplate(spans, minDf = 3, joinWith = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the banner is gone from EVERY doc — no keeper survives (vs dedup)
+    assert(out == Map(1L -> "real content one", 2L -> "real content two",
+      3L -> "real content three", 5L -> "narrow dup\n\nbody five",
+      6L -> "narrow dup\n\nbody six"), s"got $out")
+    // a doc repeating its own span does NOT self-promote to boilerplate
+    val selfRep = Seq((1L, "hdr\n\nhdr\n\nhdr\n\nbody")).toDF("doc_id", "text")
+    val kept = Spans.removeBoilerplate(Spans.split(selfRep, "doc_id", "text"),
+        minDf = 3, joinWith = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "hdr\n\nhdr\n\nhdr\n\nbody", s"got $kept")
+  }
+
   test("DedupJob spans mode writes verdicts, masks and cleaned docs") {
     val in = java.nio.file.Files.createTempDirectory("graft_djs_in").toString
     Seq((1L, "shared paragraph here\n\nalpha body"),
