@@ -2575,7 +2575,10 @@ object SparkEntry {
         |  SELECT u, v FROM e
         |  UNION
         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
-        |comp AS (SELECT u AS id, least(u, min(v)) AS component
+        |-- MATERIALIZED: comp is referenced twice below; inlined, DuckDB
+        |-- re-evaluates the whole reach chain per reference (tens of GB of
+        |-- spill at sf0.1 — the q_docs_cluster_sizes precedent)
+        |comp AS MATERIALIZED (SELECT u AS id, least(u, min(v)) AS component
         |         FROM reach GROUP BY u),
         |csize AS (SELECT component, count(*) AS c_size FROM comp GROUP BY 1),
         |rates AS (
