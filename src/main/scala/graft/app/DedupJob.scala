@@ -245,12 +245,18 @@ object DedupJob {
       case "substr" =>
         // ExactSubstr pass: duplicated --chunkWords-token windows cut
         // everywhere but one canonical copy; masks/ is the per-token
-        // removal lineage, cleaned/ the reassembled survivors
-        Map(
-          "masks" -> write(graft.pipeline.ExactSubstr.mask(
-            docs, a.idCol, a.textCol, a.chunkWords), "masks"),
-          "cleaned" -> write(graft.pipeline.ExactSubstr.clean(
-            docs, a.idCol, a.textCol, a.chunkWords), "cleaned"))
+        // removal lineage, cleaned/ the reassembled survivors. Both
+        // outputs derive from ONE persisted coverage frame — the window
+        // hashing + dup election runs once, not once per output.
+        val cov = graft.pipeline.ExactSubstr.coverage(
+            docs, a.idCol, a.textCol, a.chunkWords)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try Map(
+          "masks" -> write(
+            graft.pipeline.ExactSubstr.maskFromCoverage(cov), "masks"),
+          "cleaned" -> write(
+            graft.pipeline.ExactSubstr.cleanFromCoverage(cov), "cleaned"))
+        finally cov.unpersist(blocking = false)
       case other => sys.error(s"unknown --mode $other")
     }
   }

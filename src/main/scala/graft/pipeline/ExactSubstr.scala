@@ -114,8 +114,12 @@ object ExactSubstr {
     * mask = '0'/'1' per token in order. */
   def mask(docs: DataFrame, idCol: String, textCol: String,
            k: Int, keepOne: Boolean = true): DataFrame =
-    coverage(docs, idCol, textCol, k, keepOne)
-      .groupBy("id")
+    maskFromCoverage(coverage(docs, idCol, textCol, k, keepOne))
+
+  /** [[mask]] over an already-computed (possibly persisted) [[coverage]]
+    * frame — so a job emitting mask AND clean runs the detect chain once. */
+  def maskFromCoverage(cov: DataFrame): DataFrame =
+    cov.groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("covered").cast("long")).as("n_removed"),
         array_join(
@@ -130,8 +134,11 @@ object ExactSubstr {
     * semantics. */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             k: Int, keepOne: Boolean = true): DataFrame =
-    coverage(docs, idCol, textCol, k, keepOne)
-      .filter(col("covered") === 0)
+    cleanFromCoverage(coverage(docs, idCol, textCol, k, keepOne))
+
+  /** [[clean]] over an already-computed [[coverage]] frame. */
+  def cleanFromCoverage(cov: DataFrame): DataFrame =
+    cov.filter(col("covered") === 0)
       .groupBy("id")
       .agg(array_join(
         transform(
