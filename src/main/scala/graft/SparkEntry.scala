@@ -571,6 +571,22 @@ object SparkEntry {
             "doc_id", "text", chunkWords = 10))
         .orderBy("id")),
 
+    // ---- content-defined chunking dedup (insertion-resilient spans) ------
+    // rsync/FastCDC boundaries at word granularity: chunk edges depend on
+    // LOCAL 4-gram hashes, so the planted one-token-prepended variants
+    // re-synchronize and their downstream chunks still dedup — fixed
+    // windows would shift every span and find nothing (gated in SpansSpec)
+    "q_docs_cdc_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val planted = d.union(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("zzz "), col("text")).as("text")))
+      graft.pipeline.Spans.dedup(
+          graft.pipeline.Spans.cdcChunks(planted, "doc_id", "text"))
+        .withColumn("is_dup", col("is_dup").cast("int"))
+        .orderBy("id", "span_idx")
+    }),
+
     // ---- boilerplate span removal (CCNet/Dolma DF-threshold) -------------
     // spans in ≥ 3 DISTINCT docs are boilerplate and removed EVERYWHERE —
     // including the copy span dedup would keep; the planted exact + tail-
@@ -1897,6 +1913,44 @@ object SparkEntry {
         |FROM d JOIN sp ON sp.id = d.id AND sp.span_idx = d.span_idx
         |WHERE d.id = d.keeper_id AND d.span_idx = d.keeper_span_idx
         |GROUP BY d.id ORDER BY d.id""".stripMargin,
+    // CDC dedup: DuckDB replays the local-hash boundary mask, the
+    // running-sum chunk ids, the reassembly, and the keeper election over
+    // docs ∪ planted one-token-prepended variants
+    "q_docs_cdc_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, 'zzz ' || text AS text
+        |  FROM documents WHERE doc_id < 20),
+        |w AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS fw
+        |      FROM all_docs),
+        |tk AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS pos, fw[CAST(j AS INTEGER)] AS tok,
+        |    CASE WHEN j >= 4 AND substring(md5(array_to_string(
+        |           fw[CAST(j - 3 AS INTEGER):CAST(j AS INTEGER)], ' ')), 1, 1) < '4'
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT doc_id, fw, unnest(generate_series(1, len(fw))) AS j
+        |        FROM w)),
+        |ch AS (SELECT doc_id, pos, tok,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS cid
+        |       FROM tk),
+        |sp AS (SELECT doc_id AS id, CAST(cid AS BIGINT) AS span_idx,
+        |         string_agg(tok, ' ' ORDER BY pos) AS span
+        |       FROM ch GROUP BY 1, 2),
+        |h AS (SELECT id, span_idx, md5(span) AS span_hash FROM sp),
+        |d AS (
+        |  SELECT id, span_idx, span_hash,
+        |    first_value(id) OVER win AS keeper_id,
+        |    first_value(span_idx) OVER win AS keeper_span_idx,
+        |    count(*) OVER (PARTITION BY span_hash) AS n_copies
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY span_hash ORDER BY id, span_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT id, span_idx, span_hash, keeper_id, keeper_span_idx, n_copies,
+        |  CASE WHEN id = keeper_id AND span_idx = keeper_span_idx
+        |       THEN 0 ELSE 1 END AS is_dup
+        |FROM d ORDER BY id, span_idx""".stripMargin,
     // boilerplate: distinct-doc DF per span hash over the same planted
     // corpus; df ≥ 3 spans excluded from every document's reassembly
     "q_docs_span_boilerplate" ->

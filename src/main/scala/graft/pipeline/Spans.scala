@@ -55,6 +55,56 @@ object Spans {
       .filter(length(col("span")) > 0)
   }
 
+  /** Content-defined chunking (CDC) span extraction — the rsync/FastCDC
+    * idea at word granularity: a chunk boundary falls AFTER token j iff
+    * the hash of the `window`-gram ending at j satisfies the mask
+    * (first md5 hex char < `boundaryHexLt`; '4' → P = 1/4, mean chunk ≈ 4
+    * tokens). Because boundaries depend only on LOCAL content, an
+    * insertion or deletion re-synchronizes the chunking within ~`window`
+    * tokens — where [[wordChunks]]' fixed windows shift EVERY downstream
+    * span and defeat span dedup entirely (gated in SpansSpec). Same
+    * (id, span_idx, span) contract as [[split]]/[[wordChunks]], so it
+    * composes with [[dedup]]/[[removeDups]]/[[removeBoilerplate]].
+    *
+    * Shape: token extraction is a per-row projection; chunk ids are one
+    * per-document running sum over token positions (sort bounded by doc
+    * size, the [[ExactSubstr.coverage]] budget) and reassembly is a
+    * per-(id, chunk) aggregation. Only (id, pos, token, flag) rows ever
+    * shuffle. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 4, boundaryHexLt: Char = '4'): DataFrame = {
+    require(window >= 2, s"window $window")
+    require(("0123456789abcdef").contains(boundaryHexLt),
+      s"boundaryHexLt $boundaryHexLt must be a lowercase hex digit")
+    import org.apache.spark.sql.expressions.Window
+    val ws = org.apache.spark.sql.functions.filter(
+      org.apache.spark.sql.functions.split(col(textCol), " "),
+      w => w =!= lit(""))
+    val toks = docs.select(col(idCol).as("id"), ws.as("fw"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(1), size(col("fw"))),
+          j => struct(
+            element_at(col("fw"), j).as("tok"),
+            when(j >= window &&
+                substring(md5(concat_ws(" ",
+                  slice(col("fw"), j - (window - 1), lit(window)))), 1, 1)
+                  < boundaryHexLt.toString, 1)
+              .otherwise(0).as("b")))))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.tok").as("tok"), col("col.b").as("b"))
+    val wd = Window.partitionBy("id").orderBy("pos")
+    toks
+      // boundary AFTER token j: j's flag starts the NEXT chunk, so the
+      // running sum shifts by one position (lag semantics via sum - b)
+      .withColumn("span_idx", (sum(col("b")).over(wd) - col("b")).cast("long"))
+      .groupBy("id", "span_idx")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tok").as("t")))),
+          x => x.getField("t")), " ").as("span"))
+      .select(col("id"), col("span_idx"), col("span"))
+  }
+
   /** Span-level exact dedup over a (id, span_idx, span) frame.
     *
     * Output per input span: (id, span_idx, span_hash, keeper_id,

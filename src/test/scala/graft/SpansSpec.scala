@@ -72,6 +72,41 @@ class SpansSpec extends AnyFunSuite {
       2L -> "unique beta"), s"got $cleaned")
   }
 
+  test("cdcChunks: partition property, and an insertion re-syncs where " +
+       "fixed windows shift everything") {
+    val words = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, words),
+      (2L, "inserted " + words)) // one-token insertion at the front
+    .toDF("doc_id", "text")
+    val chunks = Spans.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // partition property: chunks reassemble to the exact token sequence
+    for (id <- Seq(1L, 2L)) {
+      val re = chunks.filter(_._1 == id).sortBy(_._2).map(_._3).mkString(" ")
+      val want = if (id == 1L) words else "inserted " + words
+      assert(re == want, s"doc $id reassembly")
+      // span_idx is contiguous from 0
+      val idxs = chunks.filter(_._1 == id).map(_._2).sorted
+      assert(idxs.sameElements(idxs.indices.map(_.toLong)), s"doc $id idxs")
+    }
+    // re-sync: the two docs share most chunk TEXTS despite the shift
+    val s1 = chunks.filter(_._1 == 1L).map(_._3).toSet
+    val s2 = chunks.filter(_._1 == 2L).map(_._3).toSet
+    val shared = s1.intersect(s2).size
+    assert(shared >= math.min(s1.size, s2.size) - 3,
+      s"CDC should re-sync after the insertion: $shared shared of " +
+        s"${s1.size}/${s2.size}")
+    // the fixed-window chunking shares NOTHING on the same input — the
+    // failure mode CDC exists to fix
+    val fixed = Spans.wordChunks(docs, "doc_id", "text", chunkWords = 10)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val f1 = fixed.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fixed.filter(_._1 == 2L).map(_._2).toSet
+    assert(f1.intersect(f2).isEmpty,
+      "fixed windows unexpectedly survived the shift")
+  }
+
   test("removeBoilerplate drops wide-DF spans everywhere; dedup would keep one") {
     val df = Seq(
       (1L, "cookie banner text\n\nreal content one"),
