@@ -182,8 +182,13 @@ object CurateJob {
       val nSpans = if (a.spans) {
         // drop cross-corpus duplicate paragraphs, reassemble in span order;
         // docs whose every span was boilerplate drop out entirely
-        cur = Spans.removeDups(
-            Spans.split(cur, "id", "sc", a.spanSep), joinWith = "\n\n")
+        // 'cdc' selects insertion-resilient content-defined chunks (the
+        // DedupJob spans-mode sentinel); anything else is a split regex
+        val sp =
+          if (a.spanSep == "cdc") Spans.cdcChunks(cur, "id", "sc")
+          else Spans.split(cur, "id", "sc", a.spanSep)
+        cur = Spans.removeDups(sp,
+            joinWith = if (a.spanSep == "cdc") " " else "\n\n")
           .select(col("id"), col("cleaned_text").as("sc"))
         cur.count()
       } else nNearDup

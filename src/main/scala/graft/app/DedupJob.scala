@@ -236,6 +236,8 @@ object DedupJob {
         val sp =
           if (a.spanSep == "words")
             graft.pipeline.Spans.wordChunks(docs, a.idCol, a.textCol, a.chunkWords)
+          else if (a.spanSep == "cdc")
+            graft.pipeline.Spans.cdcChunks(docs, a.idCol, a.textCol)
           else graft.pipeline.Spans.split(docs, a.idCol, a.textCol, a.spanSep)
         val d = graft.pipeline.Spans.dedup(sp)
         Map(
