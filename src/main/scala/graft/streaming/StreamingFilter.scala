@@ -246,6 +246,45 @@ object StreamingFilter {
           bucketWidth, nBuckets)
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** One micro-batch's known-snippet scan (the kernel of
+    * [[snippetAlertSink]], exposed for replay testing): every clip in the
+    * batch is checked for every static known snippet via the acoustic
+    * fingerprint aligner; alert rows land as the overwrite-idempotent
+    * `batch_id=<id>` partition. Empty batches write nothing. */
+  private[graft] def snippetAlertBatch(batch: DataFrame, batchId: Long,
+                                       snippets: DataFrame, outDir: String,
+                                       windowMs: Int, hopMs: Int,
+                                       minCoverage: Double): Unit =
+    if (batch.take(1).nonEmpty)
+      graft.pipeline.AudioDedup.findClipsContaining(batch, snippets,
+          windowMs = windowMs, hopMs = hopMs, minCoverage = minCoverage)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Streaming known-snippet alerting — the ingest-time compliance gate:
+    * each micro-batch of incoming clips is scanned for a STATIC snippet
+    * set (licensed jingles, ad beds, test tones pending takedown) with
+    * the same offset-aligned fingerprint matcher the batch path uses
+    * ([[graft.pipeline.AudioDedup.findClipsContaining]]), and the alert
+    * rows (which clip contains which snippet, coverage, offset) land
+    * under `outDir/batch_id=<id>/`. The snippet set is static and tiny
+    * (every batch re-fingerprints it — bounded), the batch decodes once
+    * in the narrow fingerprint pass, and a replayed batch rewrites its
+    * partition rather than duplicating alerts. An alert consumer feeds
+    * matches straight into `SnapshotTable.stageDelete` — the streaming
+    * front half of the takedown pipeline. */
+  def snippetAlertSink(clips: DataFrame, snippets: DataFrame,
+                       outDir: String, checkpoint: String,
+                       windowMs: Int = 500, hopMs: Int = 250,
+                       minCoverage: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    clips.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        snippetAlertBatch(batch, batchId, snippets, outDir,
+          windowMs, hopMs, minCoverage)
+      }
+      .start()
+
   /** Streaming ingest-drift monitor — [[graft.app.FilterJob.driftSince]]'s
     * per-commit audit at micro-batch cadence: every batch is PSI'd
     * against a STATIC reference population (yesterday's corpus, a golden

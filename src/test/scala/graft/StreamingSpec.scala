@@ -299,6 +299,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotTable.readAligned(spark, table).count() == 65)
   }
 
+  test("streaming snippet alerts: known jingle flagged at ingest, " +
+       "clean clips silent, replay rewrites") {
+    import spark.implicits._
+    import graft.codec.Codecs
+    val sr = 8000
+    def s16(x: Double): Short = {
+      val v = math.round(x * 32768.0)
+      (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+    }
+    def jingle(ms: Int): Array[Short] =
+      Array.tabulate(sr * ms / 1000) { i =>
+        val t = i.toDouble / sr
+        val f = if ((i / (sr / 10)) % 2 == 0) 600.0 else 1800.0
+        s16(0.5 * (0.4 + 0.6 * math.abs(math.sin(2 * math.Pi * 3 * t))) *
+          math.sin(2 * math.Pi * f * t))
+      }
+    def tone(ms: Int, f: Double): Array[Short] =
+      Array.tabulate(sr * ms / 1000)(i =>
+        s16(0.3 * math.sin(2 * math.Pi * f * i / sr)))
+    val j = jingle(600)
+    def mk(id: String, pcm: Array[Short], codec: String) =
+      (id, Codecs.encode(codec, pcm), sr, pcm.length * 1000 / sr, codec, "t")
+    val cols = Seq("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val dir = Files.createTempDirectory("graft-snip-in").toString
+    Seq(mk("carrier", tone(400, 900.0) ++ j, "ulaw8"), // µ-law re-encode
+        mk("clean", tone(1600, 440.0), "pcm_s16le"))
+      .toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(dir)
+    val snippets = Seq(mk("banned_jingle", j, "pcm_s16le")).toDF(cols: _*)
+    val out = Files.createTempDirectory("graft-snip-out").toString
+
+    val in = spark.readStream
+      .schema(graft.app.FilterJob.clipSchema).parquet(dir)
+    val q = StreamingFilter.snippetAlertSink(in, snippets, out,
+      Files.createTempDirectory("graft-snip-ckpt").toString,
+      windowMs = 200, hopMs = 200, minCoverage = 0.9)
+    q.processAllAvailable()
+    q.stop()
+
+    val alerts = spark.read.option("basePath", out).parquet(out)
+    val rows = alerts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4))).toSet
+    // the µ-law carrier trips the alert at full coverage; clean is silent
+    assert(rows.map(t => (t._1, t._2)) == Set(("carrier", "banned_jingle")),
+      s"got $rows")
+    assert(rows.forall(_._3 >= 0.9))
+
+    // replay with different data rewrites the partition, never appends
+    val b0 = alerts.select("batch_id").distinct()
+      .collect().map(_.getAs[Number](0).longValue()).min
+    StreamingFilter.snippetAlertBatch(
+      Seq(mk("clean2", tone(800, 300.0), "pcm_s16le")).toDF(cols: _*),
+      b0, snippets, out, 200, 200, 0.9)
+    assert(spark.read.option("basePath", out).parquet(out).count() == 0,
+      "replayed alert partition must be rewritten, not appended")
+  }
+
   test("streaming drift monitor: per-batch PSI vs a static reference, " +
        "idempotent under replay") {
     val dir = Files.createTempDirectory("graft-drift-in").toString
