@@ -610,6 +610,23 @@ object SparkEntry {
           "doc_id", "text", k = 8)
         .orderBy("id")),
 
+    // ---- incremental ExactSubstr (daily ingest vs corpus index) ----------
+    // the batch path of window dedup: new documents join a persisted
+    // corpus window-hash index — corpus-verbatim content is cut entirely
+    // (the corpus copy is the keeper), intra-batch duplicates keep one
+    // copy; the corpus text itself is never rescanned
+    "q_docs_substr_incr" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" xqz")).as("text")))
+      graft.pipeline.ExactSubstr.cleanIncremental(batch, "doc_id", "text",
+          k = 8, graft.pipeline.ExactSubstr.windowIndex(d, "doc_id", "text", 8))
+        .orderBy("id")
+    }),
+
     // ---- TF-IDF top terms (corpus keyword profiling) ---------------------
     // tf·ln(N/df) with deterministic (score desc, term asc) ranking: term
     // stats from two map-side-combined aggregates + a broadcast scalar —
@@ -1974,6 +1991,59 @@ object SparkEntry {
         |FROM cov GROUP BY id ORDER BY id""".stripMargin,
     "q_docs_substr_clean" ->
       s"""$substrCte
+        |SELECT id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        |FROM cov WHERE covered = 0 GROUP BY id ORDER BY id""".stripMargin,
+    // incremental ExactSubstr: corpus window hashes + batch windows;
+    // corpus hits mask every batch occurrence, intra-batch dups keep the
+    // min-(id,pos) copy; same coverage frame as the full pass
+    "q_docs_substr_incr" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, text || ' xqz' AS text
+        |  FROM documents WHERE doc_id < 20),
+        |cwz AS (
+        |  SELECT DISTINCT md5(array_to_string(
+        |    fw[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)], ' ')) AS h
+        |  FROM (SELECT fw, unnest(generate_series(1, len(fw) - 7)) AS j
+        |        FROM (SELECT list_filter(string_split(text, ' '),
+        |                x -> x <> '') AS fw FROM documents)
+        |        WHERE len(fw) >= 8)),
+        |bw AS (
+        |  SELECT doc_id AS id, CAST(j AS BIGINT) AS pos,
+        |    md5(array_to_string(
+        |      fw[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)], ' ')) AS h
+        |  FROM (SELECT doc_id, fw, unnest(generate_series(1, len(fw) - 7)) AS j
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '') AS fw
+        |              FROM batch)
+        |        WHERE len(fw) >= 8)),
+        |hits AS (SELECT id, pos FROM bw JOIN cwz ON bw.h = cwz.h),
+        |bd AS (
+        |  SELECT id, pos FROM (
+        |    SELECT id, pos, h,
+        |      first_value(id) OVER wk AS keeper_id,
+        |      first_value(pos) OVER wk AS keeper_pos,
+        |      count(*) OVER (PARTITION BY h) AS n_copies
+        |    FROM bw
+        |    WINDOW wk AS (PARTITION BY h ORDER BY id, pos
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |  WHERE n_copies >= 2 AND NOT (id = keeper_id AND pos = keeper_pos)),
+        |st AS (SELECT DISTINCT id, pos FROM
+        |       (SELECT * FROM hits UNION ALL SELECT * FROM bd)),
+        |tok AS (
+        |  SELECT doc_id AS id, CAST(j AS BIGINT) AS pos,
+        |    fw[CAST(j AS INTEGER)] AS tok
+        |  FROM (SELECT doc_id, fw, unnest(generate_series(1, len(fw))) AS j
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), x -> x <> '') AS fw
+        |              FROM batch))),
+        |cov AS (
+        |  SELECT t.id, t.pos, t.tok,
+        |    max(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY t.id ORDER BY t.pos
+        |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM tok t LEFT JOIN st s ON s.id = t.id AND s.pos = t.pos)
         |SELECT id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
         |FROM cov WHERE covered = 0 GROUP BY id ORDER BY id""".stripMargin,
     // TF-IDF: tf from per-doc term counts, df from distinct docs per term,

@@ -136,6 +136,48 @@ object ExactSubstr {
             k: Int, keepOne: Boolean = true): DataFrame =
     cleanFromCoverage(coverage(docs, idCol, textCol, k, keepOne))
 
+  /** Corpus window-hash index for INCREMENTAL runs: one (win_hash,
+    * n_occurrences) row per distinct k-window text — the persisted
+    * artifact a daily ingest joins against instead of re-hashing the
+    * whole corpus (commit it as snapshot-table chunks exactly like the
+    * incremental MinHash band index; a day's new windows append as the
+    * next chunk). Map-side combined, ~36 bytes/distinct window. */
+  def windowIndex(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame =
+    windows(docs, idCol, textCol, k)
+      .groupBy("win_hash").agg(count(lit(1)).as("n"))
+
+  /** Incremental coverage of a NEW batch against a persisted corpus
+    * [[windowIndex]]: a batch window masks its tokens iff its text exists
+    * in the corpus (the corpus copy IS the canonical keeper — every batch
+    * occurrence is cut) OR occurs ≥ 2 times within the batch itself
+    * (intra-batch min-(id, pos) keeper election, as in [[dupStarts]]).
+    * The batch never rescans corpus text: the index join ships only
+    * (win_hash) against (id, pos, win_hash) rows. */
+  def coverageIncremental(batch: DataFrame, idCol: String, textCol: String,
+                          k: Int, index: DataFrame): DataFrame = {
+    val wins = windows(batch, idCol, textCol, k)
+    val idxHits = wins.join(index.select("win_hash"), Seq("win_hash"))
+      .select("id", "pos")
+    val starts = idxHits.union(dupStarts(wins).select("id", "pos"))
+      .distinct()
+      .select(col("id"), col("pos"), lit(1).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(-(k - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    tokens(batch, idCol, textCol)
+      .join(starts, Seq("id", "pos"), "left")
+      .withColumn("covered", max(coalesce(col("d"), lit(0))).over(w))
+      .select("id", "pos", "tok", "covered")
+  }
+
+  /** The incremental cleaning transform: [[coverageIncremental]] +
+    * survivor reassembly — "today's batch, minus everything the corpus
+    * already contains verbatim". */
+  def cleanIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       k: Int, index: DataFrame): DataFrame =
+    cleanFromCoverage(coverageIncremental(batch, idCol, textCol, k, index))
+
   /** [[clean]] over an already-computed [[coverage]] frame. */
   def cleanFromCoverage(cov: DataFrame): DataFrame =
     cov.filter(col("covered") === 0)

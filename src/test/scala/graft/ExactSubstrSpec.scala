@@ -76,6 +76,24 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(m(2L) == "1111100", s"doc2 ${m(2L)}")
   }
 
+  test("incremental: corpus hits cut every batch copy, intra-batch dups " +
+       "keep one, novel text untouched") {
+    val corpus = Seq((1L, "p q r s t u v w x y")).toDF("doc_id", "text")
+    val idx = ExactSubstr.windowIndex(corpus, "doc_id", "text", k = 4)
+    val batch = Seq(
+      (10L, "a1 b1 p q r s c1 d1"),    // corpus 4-run → cut (no keeper!)
+      (11L, "m n o zz m n o qq"),      // novel text, no 4-dup → untouched
+      (12L, "e2 f2 g2 h2 i2 j2"),      // batch-dup of 13 → keeper (min id)
+      (13L, "e2 f2 g2 h2 i2 j2"))      // → fully cut
+      .toDF("doc_id", "text")
+    val out = ExactSubstr.cleanIncremental(batch, "doc_id", "text", 4, idx)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "a1 b1 c1 d1", s"got ${out.get(10L)}")
+    assert(out(11L) == "m n o zz m n o qq", s"got ${out.get(11L)}")
+    assert(out(12L) == "e2 f2 g2 h2 i2 j2", s"got ${out.get(12L)}")
+    assert(!out.contains(13L), s"batch dup must vanish: ${out.get(13L)}")
+  }
+
   test("DedupJob substr mode writes per-token masks and cleaned docs") {
     val in = java.nio.file.Files.createTempDirectory("graft_djx_in").toString
     corpus.write.mode("overwrite").parquet(in)
