@@ -73,6 +73,9 @@ import graft.text.Scrubber
   *   report/  one row of per-stage survivor counts — the funnel a curation
   *            run is audited by (silent attrition is the anti-pattern);
   *            skipped stages report the pass-through count
+  *   drift/   per-bucket PSI of the KEPT corpus vs the INPUT over document
+  *            length (100-char buckets) — "what did the funnel do to the
+  *            distribution it kept"; Σ psi read on the 0.1/0.25 lights
   */
 object CurateJob {
 
@@ -260,6 +263,14 @@ object CurateJob {
           col("lc").as("n_chars_clean"))
       kept.write.mode("overwrite").parquet(s"${a.output}/kept")
       val nKept = spark.read.parquet(s"${a.output}/kept").count()
+      // funnel-shift audit: the kept distribution vs the raw input over
+      // document length — two one-pass counts + bucket-sized math
+      TextProfile.psiDrift(
+          docs.select(length(col(a.textCol)).cast("double").as("m")),
+          spark.read.parquet(s"${a.output}/kept")
+            .select(col("n_chars_clean").cast("double").as("m")),
+          col("m"), bucketWidth = 100.0, nBuckets = 20)
+        .write.mode("overwrite").parquet(s"${a.output}/drift")
       val counts = Map(
         "rows_in" -> nIn, "after_decontaminate" -> nClean,
         "after_dedup" -> nDeduped, "after_neardup" -> nNearDup,

@@ -1012,6 +1012,12 @@ class DedupSpec extends AnyFunSuite {
     // skipped optional stages report the pass-through count
     assert(rep(0).getAs[Long]("after_neardup") == 5 &&
       rep(0).getAs[Long]("after_spans") == 5)
+    // funnel-shift audit rows: populations reconcile, index is finite
+    val drift = spark.read.parquet(s"$out/drift").collect()
+    assert(drift.map(_.getAs[Long]("n_ref")).sum == 7L &&
+      drift.map(_.getAs[Long]("n_cur")).sum == 3L, drift.mkString(";"))
+    val idx = drift.map(_.getAs[Double]("psi")).sum
+    assert(!idx.isNaN && !idx.isInfinite && idx >= 0.0, s"index $idx")
   }
 
   test("CurateJob --mirrors drops the re-hosted source; the keeper survives") {
