@@ -334,6 +334,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Unicode NFC normalization (pre-dedup canonicalization) ----------
+    // decomposed "e"+U+0301 and composed "é" must hash identically or
+    // every dedup tier silently misses visually-identical duplicates;
+    // native codegen'd NfcNormalize expression, planted decomposed tails
+    "q_docs_normalize" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+      val planted = d.union(d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" café")).as("text")))
+      val nfc = graft.functions.NfcNormalize.col(col("text"))
+      planted.select(col("doc_id"), nfc.as("text_nfc"),
+          when(nfc === col("text"), 0).otherwise(1).as("changed"),
+          length(col("text")).as("n_chars_raw"),
+          length(nfc).as("n_chars_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // ---- code-switching detection (windowed LID) -------------------------
     // document-level LID hides mixed-language documents (the CJK-spam-in-
     // English-page failure mode): classify each 10-word window instead,
@@ -1584,6 +1601,19 @@ object SparkEntry {
         |       WHEN (length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))) / cast(greatest(length(lower(text)), 1) as double) >= 0.35 THEN 'vowelish'
         |       ELSE 'latin' END AS lang_guess
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // NFC: DuckDB's own nfc_normalize against the native expression —
+    // two independent Unicode NFC implementations must agree byte for byte
+    "q_docs_normalize" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000 AS doc_id, text || ' cafe' || chr(769) AS text
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        |  CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END AS changed,
+        |  length(text) AS n_chars_raw,
+        |  length(nfc_normalize(text)) AS n_chars_nfc
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
     // windowed LID: DuckDB re-chunks each doc (incl. the planted mixed
     // docs) into 10-word windows, applies the identical per-window
     // heuristic, and replays the deterministic majority election

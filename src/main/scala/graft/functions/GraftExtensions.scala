@@ -80,9 +80,18 @@ object GraftExtensions {
     }
   )
 
+  private val nfcNormalizeFn = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "nfc_normalize(text) takes one string arg")
+      NfcNormalize(children.head): Expression
+    }
+  )
+
   private[functions] val all = Seq(
     cosineSimFn, minhashSigFn, matchCountFn, sketchHammingFn,
-    simhash64Fn, fingerprintFn)
+    simhash64Fn, fingerprintFn, nfcNormalizeFn)
 
   /** Register on an already-running session (extensions only apply at
     * session construction). */

@@ -112,6 +112,26 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getInt(0) == 32 && r.getInt(1) == 0)
   }
 
+  test("nfc_normalize: composes decomposed text, no-op fast path, SQL-exposed") {
+    graft.functions.GraftExtensions.register(spark)
+    val decomposed = "café over the raña" // e+◌́, n+◌̃
+    val composed = "café over the raña"
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS n, length('$decomposed') AS lr")
+      .collect()(0)
+    assert(r.getString(0) == composed, s"got '${r.getString(0)}'")
+    assert(r.getString(0).length == decomposed.length - 2)
+    // already-NFC input comes back identical (the allocation-free path)
+    val same = spark.sql(s"SELECT nfc_normalize('$composed') AS n").collect()(0)
+    assert(same.getString(0) == composed)
+    // dedup consequence: the two spellings hash identically after NFC
+    import org.apache.spark.sql.functions.md5
+    val df = Seq((1L, decomposed), (2L, composed)).toDF("id", "t")
+    val hashes = df.select(md5(graft.functions.NfcNormalize.col(col("t"))))
+      .collect().map(_.getString(0)).distinct
+    assert(hashes.length == 1, "NFC must unify the spellings for dedup")
+  }
+
   test("cosine_sim is available from SQL after registration") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
