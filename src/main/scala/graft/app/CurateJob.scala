@@ -17,7 +17,7 @@ import graft.text.Scrubber
   *     [--ref <eval/benchmark parquet>] [--refText text] \
   *     [--neardup true] [--minJaccard 0.5] \
   *     [--mirrors true] [--source source] [--mirrorJaccard 0.8] \
-  *     [--spans true] [--spanSep '\n{2,}'] [--substr 8] \
+  *     [--spans true] [--spanSep '\n{2,}'] [--substr 8] [--nfc true] \
   *     [--quality heuristic|learned] [--minQuality 0.5] \
   *     [--minLen 50] [--maxPunctRatio 0.1] [--fullKeepLen 400] \
   *     [--ccnet true] [--stratum lang] [--nBuckets 3] [--keepBuckets 2] \
@@ -87,7 +87,7 @@ object CurateJob {
       mirrors: Boolean = false, sourceCol: String = "source",
       mirrorJaccard: Double = 0.8,
       spans: Boolean = false, spanSep: String = "\\n{2,}",
-      substrK: Int = 0,
+      substrK: Int = 0, nfc: Boolean = true,
       quality: String = "heuristic", minQuality: Double = 0.5,
       minLen: Int = 50, maxPunctRatio: Double = 0.1, fullKeepLen: Int = 400,
       ccnet: Boolean = false, stratum: Option[String] = None,
@@ -108,7 +108,14 @@ object CurateJob {
       case None => docs
     }
 
-    val (sc, _) = Scrubber.scrubCol(col(a.textCol))
+    // (--nfc) Unicode canonicalization BEFORE scrub/hash: decomposed and
+    // composed spellings of the same text must collapse to one md5 or
+    // every downstream dedup stage misses them (codegen'd, zero-alloc on
+    // already-NFC input — on by default, the production order)
+    val rawText =
+      if (a.nfc) graft.functions.NfcNormalize.col(col(a.textCol))
+      else col(a.textCol)
+    val (sc, _) = Scrubber.scrubCol(rawText)
     // the keeper election needs only scalars of the scrubbed text; keep the
     // text column for the kept/ output but let the window key on the hash
     // (the exchange carries the projected row once, like exact())
@@ -306,6 +313,7 @@ object CurateJob {
       spans = m.getOrElse("spans", "false").toBoolean,
       spanSep = m.getOrElse("spanSep", "\\n{2,}"),
       substrK = m.getOrElse("substr", "0").toInt,
+      nfc = m.getOrElse("nfc", "true").toBoolean,
       quality = m.getOrElse("quality", "heuristic"),
       minQuality = m.getOrElse("minQuality", "0.5").toDouble,
       minLen = m.getOrElse("minLen", "50").toInt,

@@ -1071,6 +1071,26 @@ class DedupSpec extends AnyFunSuite {
     assert(m2("kept") == 4, s"got $m2")
   }
 
+  test("CurateJob NFC stage unifies decomposed/composed duplicate spellings") {
+    val base = "clean filler words that make this document long enough to " +
+      "pass the minimum length quality gate easily at the caf"
+    val rows = Seq(
+      (1L, base + "é"),  // decomposed é
+      (2L, base + "é"))   // composed é — same text after NFC
+    val in = java.nio.file.Files.createTempDirectory("graft_cjn_in").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("graft_cjn_out").toString
+    val m = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out, fullKeepLen = 10))
+    assert(m("after_dedup") == 1 && m("kept") == 1,
+      s"NFC default must collapse the spellings: $m")
+    // opting out keeps them distinct (byte-level dedup only)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cjn_o2").toString
+    val m2 = graft.app.CurateJob.run(spark,
+      graft.app.CurateJob.Args(in, out2, fullKeepLen = 10, nfc = false))
+    assert(m2("after_dedup") == 2, s"got $m2")
+  }
+
   test("CurateJob --substr cuts duplicated windows, keeps one canonical copy") {
     val run10 = "quoted passage lifted verbatim across documents again and " +
       "again everywhere" // 10 tokens → three dup 8-windows when shared
