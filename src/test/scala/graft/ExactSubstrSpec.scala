@@ -94,6 +94,40 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(!out.contains(13L), s"batch dup must vanish: ${out.get(13L)}")
   }
 
+  test("windowIndex grows across snapshot-table chunks; cleanIncremental " +
+       "reads the committed index") {
+    import graft.table.SnapshotTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_es_idx").toString + "/t"
+    SnapshotTable.open(table, 0)
+    // day 1 corpus commits its window hashes as chunk 0
+    val day1 = Seq((1L, "p q r s t u v w")).toDF("doc_id", "text")
+    ExactSubstr.windowIndex(day1, "doc_id", "text", k = 4)
+      .write.parquet(SnapshotTable.chunkDir(table, 0))
+    SnapshotTable.commitChunk(table, 0, 0, Map.empty)
+    def index() = spark.read
+      .option("basePath", java.nio.file.Paths.get(table, "data").toString)
+      .parquet(SnapshotTable.committedDataDirs(table): _*)
+      .select("win_hash")
+    // a batch copying day-1 content is cut against the committed index
+    val batch = Seq((10L, "x1 y1 p q r s z1 w1"),
+        (11L, "e f g h i j k l")).toDF("doc_id", "text")
+    val out1 = ExactSubstr.cleanIncremental(batch, "doc_id", "text", 4, index())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out1(10L) == "x1 y1 z1 w1" && out1(11L) == "e f g h i j k l",
+      s"got $out1")
+    // day 2 (e.g. yesterday's surviving batch) appends as the next chunk;
+    // the grown index now also cuts day-2 content — no rebuild, no rescan
+    ExactSubstr.windowIndex(
+        Seq((2L, "e f g h i j k l")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 4)
+      .write.parquet(SnapshotTable.chunkDir(table, 1))
+    SnapshotTable.commitChunk(table, 1, 0, Map.empty)
+    val out2 = ExactSubstr.cleanIncremental(batch, "doc_id", "text", 4, index())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(10L) == "x1 y1 z1 w1" && !out2.contains(11L), s"got $out2")
+  }
+
   test("DedupJob substr mode writes per-token masks and cleaned docs") {
     val in = java.nio.file.Files.createTempDirectory("graft_djx_in").toString
     corpus.write.mode("overwrite").parquet(in)
