@@ -130,6 +130,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: NfcNormalize is idempotent and equals the JDK reference") {
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('e', 'a', 'n', 'o'),
+      Gen.oneOf('́', '̀', '̃', '̈'), // combining marks
+      Gen.oneOf('é', 'ñ', 'ö', 'à'))                      // precomposed
+    val sGen = Gen.listOfN(40, charGen).map(_.mkString)
+    for (seed <- 1L to 25L) {
+      val raw = sample(sGen, seed)
+      val df = Seq(Tuple1(raw)).toDF("t")
+      val once = df.select(graft.functions.NfcNormalize.col(col("t")))
+        .collect()(0).getString(0)
+      assert(once == java.text.Normalizer.normalize(raw,
+        java.text.Normalizer.Form.NFC), s"seed $seed: != JDK reference")
+      val twice = Seq(Tuple1(once)).toDF("t")
+        .select(graft.functions.NfcNormalize.col(col("t")))
+        .collect()(0).getString(0)
+      assert(twice == once, s"seed $seed: not idempotent")
+    }
+  }
+
   test("law: token SimHash is case/punctuation/whitespace invariant") {
     // word order IS part of the signature (bigram features, by design);
     // the invariance contract the streaming near-dup suppression relies
