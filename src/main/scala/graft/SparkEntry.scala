@@ -511,7 +511,11 @@ object SparkEntry {
     "q_docs_cluster_sizes" -> ((s, dir) => {
       import s.implicits._
       val d = s.read.parquet(t(dir, "documents"))
-      val comps = graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir))
+      // adaptive driver union-find under the 2M-pair limit (≡ distributed,
+      // asserted in DedupSpec) — this query grades the histogram, and the
+      // contraction's own price stays on q_docs_components
+      val comps = graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir),
+        smallGraphLimit = 2000000L)
       val hist = comps.groupBy("comp")
         .agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -534,7 +538,8 @@ object SparkEntry {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" xqz")).as("text")))
       graft.pipeline.Dedup.keepersByScore(
-          graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir)),
+          graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir),
+            smallGraphLimit = 2000000L),
           universe.select(col("doc_id"), length(col("text")).as("len")),
           "doc_id", "len")
         .orderBy("comp")
@@ -1167,7 +1172,8 @@ object SparkEntry {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" xqz")).as("text")))
       graft.pipeline.TextProfile.dupAwareSample(corpus,
-          graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir)),
+          graft.pipeline.Dedup.components(cachedNearDupPairs(s, dir),
+            smallGraphLimit = 2000000L),
           "doc_id", beta = 1.0)
         .select("doc_id", "c_size", "samp_rate").orderBy("doc_id")
     }),
@@ -1387,7 +1393,8 @@ object SparkEntry {
     // graded against DuckDB recursive-CTE reachability over the SAME
     // replayed centroids
     "q_emb_semdedup_keepers" -> ((s, dir) =>
-      graft.pipeline.Dedup.keepers(cachedSemDedupPairs(s, dir))
+      graft.pipeline.Dedup.keepers(cachedSemDedupPairs(s, dir),
+          smallGraphLimit = 2000000L)
         .orderBy("keeper_id")),
 
     // ---- adaptive-preset decisions (T1-T6 family under the driver) -------

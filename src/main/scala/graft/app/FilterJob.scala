@@ -153,7 +153,26 @@ object FilterJob {
         val salted = dec.repartition(
           col("keep"), col("lang"),
           pmod(xxhash64(col("clip_id")), lit(args.saltBuckets)))
-        salted.write.mode("overwrite")
+        // manifest zone maps: min/max of the numeric decision columns,
+        // harvested as OBSERVATION metrics inside the write action itself —
+        // the rows being written ARE the chunk's rows, so the aggregates
+        // are identical to the round-5 post-write re-read of the chunk
+        // files, without scheduling a second scan job per chunk (the
+        // re-read was a per-chunk straggler the bench's pipeline rows paid
+        // 4× per run; guide §1.2 "don't compute things you throw away")
+        val statCols = Seq("dur_ms", "sr_hz", "ppl_char")
+          .filter(dec.columns.contains)
+        val obs = org.apache.spark.sql.Observation(
+          s"graft_chunk_stats_${c}_${System.nanoTime()}")
+        val observed =
+          if (statCols.isEmpty) salted
+          else salted.observe(obs,
+            min(col(statCols.head)).cast("double").as(s"min_${statCols.head}"),
+            (statCols.tail.map(cc =>
+              min(col(cc)).cast("double").as(s"min_$cc")) ++
+              statCols.map(cc =>
+                max(col(cc)).cast("double").as(s"max_$cc"))): _*)
+        observed.write.mode("overwrite")
           .partitionBy("keep", "lang")
           .parquet(SnapshotTable.chunkDir(args.output, c))
         // record the decisions schema in the snapshot metadata (the
@@ -162,15 +181,21 @@ object FilterJob {
         // but a later run appending a widened decisions row evolves the
         // table for readAligned consumers instead of silently diverging
         chunkSchema = Some(dec.schema.toDDL)
-        // manifest zone maps: min/max of the numeric decision columns,
-        // computed from the just-written files (a column-pruned re-read of
-        // three columns — never a re-run of the decode pipeline) and stored
-        // as a metadata sidecar BEFORE the commit, so prunedDataDirs can
-        // skip whole chunks on dur/ppl-range reads without opening a file
-        SnapshotTable.writeChunkStats(args.output, c,
-          SnapshotTable.chunkStats(
-            spark.read.parquet(SnapshotTable.chunkDir(args.output, c)),
-            Seq("dur_ms", "sr_hz", "ppl_char")))
+        // stats sidecar still lands BEFORE the commit, same discipline:
+        // an uncommitted chunk's sidecar is harmless, a committed chunk
+        // missing stats is merely unprunable
+        if (statCols.nonEmpty) {
+          val row = obs.get
+          val stats = statCols.flatMap { cc =>
+            (Option(row.getOrElse(s"min_$cc", null)),
+              Option(row.getOrElse(s"max_$cc", null))) match {
+              case (Some(lo), Some(hi)) =>
+                Some(cc -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+              case _ => None
+            }
+          }.toMap
+          SnapshotTable.writeChunkStats(args.output, c, stats)
+        }
         // adaptive mode persisted the chunk's features (two scans: cohort
         // stats + decisions); the write action consumed both — release it
         release()

@@ -258,6 +258,8 @@ object Dedup {
                         numHashes: Int = 80): DataFrame = {
     val minEst =
       math.max(0.0, minJaccard - 4.5 * math.sqrt(0.25 / numHashes))
+    // callers pass docs already pruned to candidate ids (candidateDocs),
+    // so the numHashes re-mixes run only for docs in some candidate pair
     val sig = docs.select(col(idCol).as("id"),
       MinHashSig.col(col(textCol), shingleK, numHashes).as("sig"))
     cands
@@ -287,6 +289,7 @@ object Dedup {
                                 shingleK: Int, minContainment: Double,
                                 numHashes: Int = 128): DataFrame = {
     val margin = 4.5 * math.sqrt(0.25 / numHashes)
+    // callers pass docs already pruned to candidate ids (candidateDocs)
     val sig = docs.select(col(idCol).as("id"),
       MinHashSig.col(col(textCol), shingleK, numHashes).as("sig"),
       size(shingles(col(textCol), shingleK)).cast(DoubleType).as("n"))
@@ -304,13 +307,36 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Doc-id frame of a candidate pair set — the prune key for attaching
+    * per-doc artifacts (signatures, shingle arrays) to candidates. */
+  private def candIdFrame(cands: DataFrame): DataFrame =
+    cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+
+  /** Candidate-doc prune: broadcast LEFT SEMI join of a per-doc frame
+    * against the candidate pair set's ids, applied BEFORE any expensive
+    * per-doc expression (signatures, shingle arrays) is computed — without
+    * it each attach join evaluates those expressions for the WHOLE corpus
+    * even though only candidate docs ever match (guide §2.3 "project
+    * before the exchange" / §3.2 "reduce the big side before shuffling
+    * it"). Call it ONCE per operator with a single shared `ids` frame: the
+    * broadcast-exchange subtree is then identical at every consumer and
+    * Spark's ReuseExchange evaluates the candidate generator once for the
+    * prune, not once per attach branch (the nested-prune formulation
+    * re-ran the generator ~4× and regressed every expensive-candidate
+    * operator). No distinct on the ids: a semi join ignores duplicates,
+    * and the dedup would cost an exchange of its own. */
+  private def pruneToCands(docs: DataFrame, ids: DataFrame): DataFrame =
+    docs.join(broadcast(ids), Seq("id"), "left_semi")
+
   /** Exact Jaccard verification of candidate pairs against a per-doc
     * (id, arr) set frame: two equi-joins attach the arrays to the candidate
     * set, one `array_intersect` computes |A∩B|, |A∪B| = |A|+|B|−|A∩B|.
     * Single codegen'd stage after the joins — replaces the round-1 four-join
-    * exploded-shingle plan (and its cache). */
+    * exploded-shingle plan (and its cache). Callers pass a set frame
+    * already pruned to candidate ids (pruneToCands), so shingle arrays are
+    * built only for docs that actually reached a candidate pair. */
   def jaccardVerifyArrays(sets: DataFrame, candidates: DataFrame,
-                          minJaccard: Double): DataFrame =
+                          minJaccard: Double): DataFrame = {
     candidates
       .join(sets.select(col("id").as("id_a"), col("arr").as("arr_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("arr").as("arr_b")), "id_b")
@@ -319,6 +345,7 @@ object Dedup {
         (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** MinHash-LSH near-dup end to end: native per-row signature (`MinHashSig`
     * codegen'd expression — no shuffle, no row explosion) → band-bucket
@@ -341,13 +368,18 @@ object Dedup {
           MinHashSig.col(col("txt"), shingleK, numHashes),
           numHashes, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_hash").as("band_hash"))
-    val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
     // estimate tier at 128 hashes (vs 80 banding hashes): the 4.5σ margin
     // shrinks with 1/√numHashes, so more hashes ⇒ a TIGHTER estimate cutoff
     // ⇒ fewer sub-threshold pairs reach the wide-array verify — the extra
-    // per-row re-mixes are narrow-stage noise next to a verify join row
-    val pruned = sigEstimateFilter(base, "id", "txt",
-      lshCandidates(bands, maxBucket), shingleK, minJaccard, estHashes)
+    // per-row re-mixes are narrow-stage noise next to a verify join row.
+    // Both tiers read candidate docs only (pruneToCands): the 128-hash
+    // signatures and the shingle arrays are computed for the few docs in
+    // some candidate pair, never the whole corpus.
+    val cands = lshCandidates(bands, maxBucket)
+    val cd = pruneToCands(base, candIdFrame(cands))
+    val pruned = sigEstimateFilter(cd, "id", "txt",
+      cands, shingleK, minJaccard, estHashes)
+    val sets = cd.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
     jaccardVerifyArrays(sets, pruned, minJaccard)
   }
 
@@ -424,14 +456,15 @@ object Dedup {
                      maxHamming: Int = 7, numBands: Int = 8,
                      shingleK: Int = 5, minJaccard: Double = 0.5,
                      probeBits: Int = 0, maxBucket: Int = 0): DataFrame = {
-    val sets = spread(docs.select(col(idCol).as("id"),
-      col(textCol).as("txt")))
-      .select(col("id"), shingles(col("txt"), shingleK).as("arr"))
-    jaccardVerifyArrays(sets,
-      simhashPairs(docs, idCol, textCol, maxHamming, numBands,
+    val cands = simhashPairs(docs, idCol, textCol, maxHamming, numBands,
         probeBits, maxBucket)
-        .select("id_a", "id_b"),
-      minJaccard)
+      .select("id_a", "id_b")
+    // shingle arrays for candidate docs only (pruneToCands)
+    val sets = pruneToCands(
+        spread(docs.select(col(idCol).as("id"), col(textCol).as("txt"))),
+        candIdFrame(cands))
+      .select(col("id"), shingles(col("txt"), shingleK).as("arr"))
+    jaccardVerifyArrays(sets, cands, minJaccard)
   }
 
   /** Winnowing fingerprints per doc (rolling-hash k-grams, window minima;
@@ -480,6 +513,13 @@ object Dedup {
         col("n_shared").cast(DoubleType) / union >=
           lit(minJaccard) - lit(4.5) * sqrt(lit(0.25) / union))
       .select("id_a", "id_b")
+    // NO pruneToCands here, deliberately (measured): the candidate
+    // generator above (gram self-join + aggregate) is the expensive half
+    // of this operator, and a candidate-id prune makes the sig/sets scans
+    // DEPEND on it — serializing stages that otherwise run concurrently
+    // (Spark schedules independent subtrees of one job in parallel).
+    // Corpus-wide sig/sets passes overlap the gram join and cost less
+    // than the added critical path (1.74 s → 3.4 s when pruned, sf0.1).
     val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     val pruned = sigEstimateFilter(base, "id", "txt", cands, shingleK,
       minJaccard, numHashes = 128)
@@ -513,11 +553,14 @@ object Dedup {
         col("n_shared").cast(DoubleType) / minFp >=
           lit(minContainment) - lit(4.5) * sqrt(lit(0.25) / minFp))
       .select("id_a", "id_b")
-    val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     // MinHash estimate tier between the gram-count estimate and the
     // shingle-array verify — the one near-dup path that lacked it until
     // round 5, and the reason short-doc-heavy corpora (where the gram-count
-    // margin collapses) shipped full arrays to weakly-pruned candidates
+    // margin collapses) shipped full arrays to weakly-pruned candidates.
+    // NO pruneToCands, same reasoning as fingerprintNearDup: a prune
+    // serializes the sig/sets scans behind the expensive gram self-join
+    // (2.4 s → 3.9 s when pruned, sf0.1); unpruned they overlap it.
+    val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     val pruned = containmentEstimateFilter(base, "id", "txt", cands,
       shingleK, minContainment, numHashes = 128)
     val sets = base.select(col("id"), shingles(col("txt"), shingleK).as("arr"))
@@ -625,9 +668,15 @@ object Dedup {
         .distinct()
     }
 
-    /** Eagerly checkpoint one round's edge frame (lineage truncation). */
+    /** Checkpoint one round's edge frame (lineage truncation). LAZY: the
+      * first action over the frame — the convergence checksum below, or
+      * chk0's universe count — materializes the checkpoint blocks inside
+      * that same job, so each round schedules ONE job instead of two
+      * (eager-materialize + checksum). Results are unchanged: the checksum
+      * still reads the materialized blocks, exactly-once. */
     def checkpointFrame(e: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) e.checkpoint() else e.localCheckpoint()
+      if (checkpointDir.isDefined) e.checkpoint(eager = false)
+      else e.localCheckpoint(eager = false)
 
     /** Order-independent (count, xor-of-64-bit-hashes) set checksum,
       * computed as one cheap aggregate over the ALREADY-materialized frame.
@@ -725,9 +774,10 @@ object Dedup {
   }
 
   /** Keeper per duplicate cluster: the minimum id of each component plus
-    * the cluster size — `exact`'s contract lifted to near-dup clusters. */
-  def keepers(pairs: DataFrame): DataFrame =
-    keepersFromComponents(components(pairs))
+    * the cluster size — `exact`'s contract lifted to near-dup clusters.
+    * `smallGraphLimit` forwards to [[components]]' adaptive fast path. */
+  def keepers(pairs: DataFrame, smallGraphLimit: Long = 0L): DataFrame =
+    keepersFromComponents(components(pairs, smallGraphLimit = smallGraphLimit))
 
   /** Keepers from an already-computed (id, comp) label frame — lets a job
     * that persists the component table derive keepers from it without
@@ -1095,10 +1145,23 @@ object Dedup {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val w = dim / m
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    (0 until m).map { s =>
-      kmeansFit(emb.select(col(idCol).as("id"),
-        slice(v, s * w + 1, w).as("v")), "id", "v", k, iters)
-    }.toArray
+    // the m per-subspace Lloyd chains are INDEPENDENT (each reads its own
+    // dim/m slice), so submit them from a small driver pool (guide §2.6
+    // "overlap independent jobs"): each fit is init + iters tiny actions
+    // whose cost is job-scheduling overhead, not data — serially that
+    // overhead multiplies by m, concurrently it overlaps. Results are
+    // bit-identical to the serial loop (no shared state between fits).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    try {
+      val futs = (0 until m).map { s =>
+        pool.submit(new java.util.concurrent.Callable[Array[Array[Double]]] {
+          def call(): Array[Array[Double]] =
+            kmeansFit(emb.select(col(idCol).as("id"),
+              slice(v, s * w + 1, w).as("v")), "id", "v", k, iters)
+        })
+      }
+      futs.map(_.get()).toArray
+    } finally pool.shutdown()
   }
 
   /** (id, sub, code) PQ code assignment: each vector compresses to m small
@@ -1314,7 +1377,10 @@ object Dedup {
   }
 
   /** Shared exact-Jaccard tail: sizes from the FULL gram frame, pairwise
-    * intersections from the (possibly capped / pruned) join frame. */
+    * intersections from the (possibly capped / pruned) join frame.
+    * (A collect_set-per-gram reformulation was measured and REJECTED:
+    * ObjectHashAggregate leaves whole-stage codegen and the distinct/join
+    * subtrees here run concurrently — 2.4 s → 2.7 s at sf0.1.) */
   private def sourceJaccard(full: DataFrame, joinFrame: DataFrame,
                             minJaccard: Double): DataFrame = {
     val sz = full.groupBy("src").agg(count(lit(1)).as("n"))

@@ -58,7 +58,18 @@ object ExactSubstr {
 
   /** Every k-token window as a skinny (id, pos, win_hash) row; `pos` is
     * the window's first token position (1-based). Documents shorter than
-    * k tokens contribute no windows (and are therefore never masked). */
+    * k tokens contribute no windows (and are therefore never masked).
+    *
+    * win_hash is `xxhash64` over the window's TOKEN ARRAY (hashing the
+    * slice directly — no per-window string concat, no md5): one 8-byte
+    * long per window instead of a 32-char hex string, so the detect
+    * shuffle carries ~4× fewer bytes and the per-window hash is ~5×
+    * cheaper to compute. Token-array equality ⇔ window-text equality
+    * (tokens cannot contain the separator), so dup detection is unchanged
+    * up to 64-bit collisions (~n²/2⁶⁵ expected false dup pairs — ≈0 at
+    * test scale, and at 10⁹⁺ windows each collision masks one k-token
+    * window: curation noise far below the LSH tiers' own documented miss
+    * rates). */
   def windows(docs: DataFrame, idCol: String, textCol: String,
               k: Int): DataFrame = {
     require(k >= 2, s"window size $k must be >= 2")
@@ -67,7 +78,7 @@ object ExactSubstr {
       .filter(size(col("ws")) >= k)
       .select(col("id"),
         posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
-          i => md5(concat_ws(" ", slice(col("ws"), i, lit(k)))))))
+          i => xxhash64(slice(col("ws"), i, lit(k))))))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("win_hash"))
   }

@@ -25,9 +25,15 @@ object TextProfile {
   def ngramDocFreq(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minDf: Long = 3): DataFrame = {
     require(n >= 1, s"ngram size $n")
-    docs.select(col(idCol).as("id"), ngrams(col(textCol), n).as("gs"))
-      .select(col("id"), explode(col("gs")).as("gram"))
-      .groupBy("gram").agg(count_distinct(col("id")).as("df"))
+    // per-doc array_distinct BEFORE the explode makes every (gram, id) row
+    // unique by construction, so DF is a plain map-side-combined count —
+    // ONE exchange carrying (gram, partial-count) rows instead of the
+    // distinct-aggregate's two-exchange (dedup + count) shape; the per-doc
+    // dedup runs inside the scan stage on a document-sized array (guide
+    // §2.3 "aggregate before you shuffle"). Result identical: distinct
+    // docs per gram either way.
+    docs.select(explode(array_distinct(ngrams(col(textCol), n))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
   }
 
@@ -76,14 +82,19 @@ object TextProfile {
     val sp = hashSplit(
       docs.select(col(idCol).as("id"), col(textCol).as("text")),
       "id", testFrac, valFrac)
-    val grams = sp.select(col("id"), col("split"),
-      explode(array_distinct(ngrams(col("text"), n))).as("gram"))
-    // grams are distinct per doc already → count = document frequency
-    val trainDf = grams.filter(col("split") === "train")
+    // split the corpus ONCE per side: the train side feeds the DF
+    // aggregate, the test side feeds both the per-doc gram count (a pure
+    // narrow expression — size(array_distinct), no explode/shuffle) and
+    // the hit join; the old shape exploded the whole corpus three times
+    val trainDf = sp.filter(col("split") === "train")
+      .select(explode(array_distinct(ngrams(col("text"), n))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("train_df"))
       .filter(col("train_df") >= minDf)
-    val testGrams = grams.filter(col("split") === "test").select("id", "gram")
-    val nGrams = testGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val test = sp.filter(col("split") === "test")
+    val testGrams = test.select(col("id"),
+      explode(array_distinct(ngrams(col("text"), n))).as("gram"))
+    val nGrams = test.select(col("id"),
+      size(array_distinct(ngrams(col("text"), n))).cast("long").as("n_grams"))
     val hits = testGrams.join(trainDf, "gram")
     val w = Window.partitionBy("id")
       .orderBy(col("train_df").desc, col("gram"))
@@ -342,22 +353,42 @@ object TextProfile {
     * which IS greedy left-to-right BPE merging (" a a a " → " aa a ").
     * The per-round frame is persisted and the previous round freed, so
     * lineage stays one round deep. */
+  /** The corpus word-frequency table with each word pre-split into
+    * sentinel-spaced characters — the persisted base every BPE round
+    * re-derives its merge state from. */
+  private def wcToks(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+      .select("cnt", "toks")
+
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = docs
-      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    var cur = wc.withColumn("toks",
-        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
-      .select("cnt", "toks")
+    // ONE persisted base (the vocab-sized word table, already char-split);
+    // each round re-applies the accumulated merge chain as NARROW literal
+    // `replace` projections over it. The old shape persisted every round's
+    // frame and ran an extra count() job to materialize it before freeing
+    // the parent — 2 jobs + a cache write per round; re-running ≤ `rounds`
+    // cheap string replaces over the persisted vocab table is far cheaper
+    // than that bookkeeping, so each round is now exactly ONE job (the
+    // pair-count aggregate + argmax). Aggregates are unchanged → identical
+    // merges.
+    val base = wcToks(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var r = 1
     var done = false
     while (r <= rounds && !done) {
+      var toks: org.apache.spark.sql.Column = col("toks")
+      merges.foreach { m =>
+        toks = replace(toks, lit(s" ${m.lhs} ${m.rhs} "), lit(s" ${m.merged} "))
+      }
+      val cur = base.select(col("cnt"), toks.as("toks"))
       val toksArr = split(trim(col("toks")), " ")
       val best = cur
         .filter(size(toksArr) >= 2)
@@ -373,16 +404,10 @@ object TextProfile {
       else {
         val (l, rr, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += BpeMerge(r, l, rr, l + rr, n)
-        val next = cur.withColumn("toks",
-            replace(col("toks"), lit(s" $l $rr "), lit(s" $l$rr ")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before freeing the parent
-        cur.unpersist(false)
-        cur = next
       }
       r += 1
     }
-    cur.unpersist(false)
+    base.unpersist(false)
     spark.createDataset(merges.toSeq).toDF()
       .select(col("round"), col("lhs"), col("rhs"), col("merged"), col("n"))
   }
@@ -598,10 +623,22 @@ object TextProfile {
         transform(sequence(lit(1), length(t) - 2),
           i => t.substr(i, lit(3))))
         .otherwise(array().cast("array<string>"))
-    // exact trigram / prefix-context counts from the train split only
+    // exact trigram / prefix-context counts from the train split only.
+    // The model is alphabet-bounded (≤ |Σ|³ rows) BY DESIGN, so collect it
+    // once and derive c2 / V from the collected table as local relations:
+    // the old shape planned the train-split explode into three separate
+    // subtrees (c3 broadcast build, c2 broadcast build, the V scalar) and
+    // paid the corpus pass each time; now the corpus is scanned exactly
+    // once for training and once for scoring. c2 and V are computed with
+    // the SAME Spark expressions over the local c3 table (exact integer
+    // sums — order-independent), so results are bit-identical.
+    val spark = docs.sparkSession
+    import spark.implicits._
     val train = hashSplit(docs, idCol).filter(col("split") === "train")
-    val c3 = train.select(explode(triArr(col(textCol))).as("g"))
+    val c3Rows = train.select(explode(triArr(col(textCol))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c3"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val c3 = c3Rows.toSeq.toDF("g", "c3")
     val c2 = c3.groupBy(substring(col("g"), 1, 2).as("pre"))
       .agg(sum("c3").as("c2"))
     val vRow = c3.agg(
