@@ -184,7 +184,11 @@ object CurateJob {
               .sortBy(s => (-counts.getOrElse(s, 0L), s)).head
             members.filterNot(_ == keeper)
           }.toSeq
-          cur = withSrc.filter(!col("src").isin(dropSrcs: _*)).drop("src")
+          // NULL-source docs belong to no mirror cluster: keep them
+          // explicitly — `!isin` alone is NULL under three-valued logic
+          // and would silently drop them
+          cur = withSrc.filter(col("src").isNull ||
+            !col("src").isin(dropSrcs: _*)).drop("src")
           cur.count()
         }
       } else nNearDup
@@ -201,7 +205,10 @@ object CurateJob {
             joinWith = if (a.spanSep == "cdc") " " else "\n\n")
           .select(col("id"), col("cleaned_text").as("sc"))
         cur.count()
-      } else nNearDup
+      // skipped stage passes the PREVIOUS stage's count through — falling
+      // back to nNearDup here misreported after_spans when --mirrors had
+      // already shrunk the corpus
+      } else nMirrors
 
       val nSubstr = if (a.substrK >= 2) {
         // cut every non-canonical duplicated k-token window (tokens only

@@ -133,10 +133,14 @@ object FilterJob {
       listed
     }
 
-    val verbose = sys.env.contains("GRAFT_JOB_TIMING")
+    // timing prints opt in via env OR system property (the property lets
+    // an in-process harness like BenchExtra enable them without a re-exec)
+    val verbose = sys.env.contains("GRAFT_JOB_TIMING") ||
+      sys.props.contains("graft.job.timing")
     val commitLock = new Object
     def processChunk(c: Int): Unit = {
       val t0 = System.nanoTime()
+      var tWrite = 0.0; var tStats = 0.0; var tCommit = 0.0
       // round-robin file assignment → even chunk sizes
       val slice = files.zipWithIndex.collect { case (f, i) if i % args.chunks == c => f }
       val counters = new FilterPipeline.Counters(spark)
@@ -172,9 +176,11 @@ object FilterJob {
               min(col(cc)).cast("double").as(s"min_$cc")) ++
               statCols.map(cc =>
                 max(col(cc)).cast("double").as(s"max_$cc"))): _*)
+        val tw0 = System.nanoTime()
         observed.write.mode("overwrite")
           .partitionBy("keep", "lang")
           .parquet(SnapshotTable.chunkDir(args.output, c))
+        tWrite = (System.nanoTime() - tw0) / 1e9
         // record the decisions schema in the snapshot metadata (the
         // Iceberg schema-tracking analog): identical across chunks of a
         // run, so the carry-forward/additive validation is a no-op here —
@@ -184,6 +190,7 @@ object FilterJob {
         // stats sidecar still lands BEFORE the commit, same discipline:
         // an uncommitted chunk's sidecar is harmless, a committed chunk
         // missing stats is merely unprunable
+        val ts0 = System.nanoTime()
         if (statCols.nonEmpty) {
           val row = obs.get
           val stats = statCols.flatMap { cc =>
@@ -196,12 +203,14 @@ object FilterJob {
           }.toMap
           SnapshotTable.writeChunkStats(args.output, c, stats)
         }
+        tStats = (System.nanoTime() - ts0) / 1e9
         // adaptive mode persisted the chunk's features (two scans: cohort
         // stats + decisions); the write action consumed both — release it
         release()
       }
       // the metadata log is read-modify-write; serialize commits (chunk
       // ORDER in the log is irrelevant — snapshots carry a chunk-id set)
+      val tc0 = System.nanoTime()
       commitLock.synchronized {
         SnapshotTable.commitChunk(args.output, c, args.chunks, Map(
           "rows" -> counters.rows.value,
@@ -209,8 +218,14 @@ object FilterJob {
           "scrubbed" -> counters.scrubbed.value
         ), schema = chunkSchema)
       }
-      if (verbose)
-        println(f"[graft.job] chunk $c: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      tCommit = (System.nanoTime() - tc0) / 1e9
+      if (verbose) {
+        val total = (System.nanoTime() - t0) / 1e9
+        // write includes decode+score (they stream into the write action);
+        // stats is the observation harvest + sidecar, commit the log append
+        println(f"[graft.job] chunk $c: $total%.2f s " +
+          f"(decode+write $tWrite%.2f, stats $tStats%.3f, commit $tCommit%.3f)")
+      }
     }
 
     val pending = (0 until args.chunks).filterNot(committed0.contains)

@@ -177,7 +177,16 @@ object AudioFeatures {
     import org.apache.spark.sql.functions._
     require(liftEps > 0, s"liftEps $liftEps must be positive")
     val lift = math.log(liftEps)
-    val df = frames.toDF()
+    // loud nMels contract: element_at past the fbank length is NULL under
+    // non-ANSI SQL, so a frames/nMels mismatch would silently skip
+    // channels in the pooled sums and emit malformed embeddings — fail
+    // the job instead
+    val df = frames.toDF().withColumn("fbank",
+      when(size(col("fbank")) === nMels, col("fbank"))
+        .otherwise(raise_error(concat(
+          lit("clipEmbedding: fbank length "),
+          size(col("fbank")).cast("string"),
+          lit(s" != nMels $nMels"))).cast("array<float>")))
     val sums = (0 until nMels).flatMap { c =>
       val x = greatest(
         element_at(col("fbank"), c + 1).cast("double") - lift, lit(0.0))

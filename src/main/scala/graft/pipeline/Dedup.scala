@@ -1022,19 +1022,16 @@ object Dedup {
 
   /** Argmin-over-centroids assignment column: for each row's vector, the id
     * of the nearest centroid by squared Euclidean distance, ties broken by
-    * the smaller cluster id. Centroids ship as literal arrays (constant-
-    * folded into codegen); the whole expression is zip_with/aggregate HOFs,
-    * so assignment is a single narrow codegen'd stage — no join, no shuffle,
-    * no UDF. */
-  private def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val d2 = aggregate(
-        zip_with(vec, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      struct(d2, lit(i)).cast("struct<d:double,cid:int>")
-    }
-    array_min(array(scored: _*)).getField("cid")
-  }
+    * the smaller cluster id. Round 6: a NATIVE codegen'd expression
+    * ([[graft.functions.NearestCentroid]], centroids embedded as a plan
+    * reference object) — the previous zip_with/aggregate HOF chain was
+    * CodegenFallback, i.e. interpreted lambda evaluation per row × centroid
+    * × dimension on every assignment pass (k-means iterations, labeling,
+    * PQ encode, SemDeDup). Summation order and the (d², smaller-id)
+    * tie-break are preserved exactly (see CentroidKernel's contract), so
+    * assignments are bit-identical. */
+  private def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid.col(vec, cents)
 
   /** Deterministic distributed Lloyd k-means over an embedding column —
     * the clustering half of SemDeDup-style semantic dedup (Abbas et al.
@@ -1143,25 +1140,52 @@ object Dedup {
   def pqFit(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
             m: Int = 4, k: Int = 8, iters: Int = 2): Array[Array[Array[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    import org.apache.spark.sql.types.DecimalType
     val w = dim / m
-    val v = col(vecCol).cast(ArrayType(DoubleType))
-    // the m per-subspace Lloyd chains are INDEPENDENT (each reads its own
-    // dim/m slice), so submit them from a small driver pool (guide §2.6
-    // "overlap independent jobs"): each fit is init + iters tiny actions
-    // whose cost is job-scheduling overhead, not data — serially that
-    // overhead multiplies by m, concurrently it overlaps. Results are
-    // bit-identical to the serial loop (no shared state between fits).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    // FUSED per-subspace Lloyd: the m chains share their data pass.
+    //  - init: md5-smallest ids do not depend on the subspace, so ONE
+    //    TakeOrdered collect seeds every codebook (identical to running
+    //    kmeansFit's init per slice — same ids, same order);
+    //  - each iteration is ONE job emitting (sub, cluster, pos, value)
+    //    rows for all m subspaces and aggregating m·k·w cells, instead of
+    //    m separate jobs each re-scanning its slice (round 5 ran 3 jobs ×
+    //    m subspaces serially = 12 scheduling rounds; this runs 1 + iters).
+    // DECIMAL sums are order-independent and the per-slice assignment /
+    // rounding expressions are unchanged, so codebooks are bit-identical
+    // to the per-slice kmeansFit chain.
+    val e = spread(emb.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val futs = (0 until m).map { s =>
-        pool.submit(new java.util.concurrent.Callable[Array[Array[Double]]] {
-          def call(): Array[Array[Double]] =
-            kmeansFit(emb.select(col(idCol).as("id"),
-              slice(v, s * w + 1, w).as("v")), "id", "v", k, iters)
-        })
+      val init = e.select(col("id"), col("v"),
+          md5(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(k).collect()
+      require(init.length == k, s"pqFit: corpus has ${init.length} < k=$k rows")
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+        init.map(_.getSeq[Double](1).slice(s * w, (s + 1) * w).toArray)
       }
-      futs.map(_.get()).toArray
-    } finally pool.shutdown()
+      for (_ <- 1 to iters) {
+        val perSub = (0 until m).map { s =>
+          struct(lit(s).as("sub"),
+            nearestCentroid(slice(col("v"), s * w + 1, w), books(s))
+              .as("cluster"))
+        }
+        val upd = e.select(col("v"), explode(array(perSub: _*)).as("sc"))
+          .select(col("sc.sub").as("sub"), col("sc.cluster").as("cluster"),
+            posexplode(slice(col("v"), col("sc.sub") * w + 1, lit(w))))
+          .groupBy("sub", "cluster", "pos")
+          .agg(sum(col("col").cast(DecimalType(28, 12))).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("sub"), col("cluster"), col("pos"),
+            round(col("s").cast(DoubleType) / col("n"), 6).as("m"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        upd.foreach(r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+        books = next
+      }
+      books
+    } finally e.unpersist(blocking = false)
   }
 
   /** (id, sub, code) PQ code assignment: each vector compresses to m small
@@ -1214,13 +1238,9 @@ object Dedup {
       array((0 until m).map(s =>
         nearestCentroid(slice(v, s * w + 1, w), books(s))): _*).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), v.as("qv"))
-    val dist2 = (0 until m).map { s =>
-      val qs = slice(col("qv"), s * w + 1, w)
-      val cv = element_at(
-        typedlit(books(s).map(_.toSeq).toSeq), col("codes").getItem(s) + 1)
-      aggregate(zip_with(qs, cv, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }.reduce(_ + _)
+    // native ADC distance (graft.functions.AdcDist): same per-subspace
+    // partial sums in the same order as the old m-HOF reduce, codegen'd
+    val dist2 = graft.functions.AdcDist.col(col("qv"), col("codes"), books)
     val win = Window.partitionBy("query_id")
       .orderBy(col("dist2"), col("neighbor_id"))
     codeArr.crossJoin(broadcast(q))

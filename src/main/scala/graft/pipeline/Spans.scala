@@ -76,33 +76,42 @@ object Spans {
     require(window >= 2, s"window $window")
     require(("0123456789abcdef").contains(boundaryHexLt),
       s"boundaryHexLt $boundaryHexLt must be a lowercase hex digit")
-    import org.apache.spark.sql.expressions.Window
+    // Chunk boundaries depend only on the doc's OWN tokens, so the whole
+    // chunking is computable inside one per-row projection: boundary
+    // positions via an array filter, chunk slices via a transform over
+    // 0..|bps|, then one posexplode. The round-5 shape exploded every
+    // token, ran a per-doc window (Exchange(id) + sort) for the running
+    // boundary sum, and re-assembled with a groupBy(id, span_idx)
+    // (second exchange) — two corpus-token exchanges for a value that
+    // never needed to leave its row (guide §2.4 "remove shuffles
+    // outright"). Output is identical: boundary condition, chunk ids and
+    // reassembled spans are the same per-token values.
     val ws = org.apache.spark.sql.functions.filter(
       org.apache.spark.sql.functions.split(col(textCol), " "),
       w => w =!= lit(""))
-    val toks = docs.select(col(idCol).as("id"), ws.as("fw"))
+    val fw = col("fw")
+    // boundary AFTER token j starts the next chunk; a boundary after the
+    // LAST token starts nothing (no token carries that chunk id), so only
+    // j ≤ |fw|−1 qualifies. (For |fw| ≤ 1 the sequence degenerates to
+    // descending junk ≤ 1, all filtered by j ≥ window ≥ 2.)
+    val bps = org.apache.spark.sql.functions.filter(
+      sequence(lit(1), size(fw) - 1), j =>
+        j >= window &&
+          substring(md5(concat_ws(" ",
+            slice(fw, j - (window - 1), lit(window)))), 1, 1)
+            < boundaryHexLt.toString)
+    docs.select(col(idCol).as("id"), ws.as("fw"))
+      .select(col("id"), fw, bps.as("bps"))
       .select(col("id"),
-        posexplode(transform(sequence(lit(1), size(col("fw"))),
-          j => struct(
-            element_at(col("fw"), j).as("tok"),
-            when(j >= window &&
-                substring(md5(concat_ws(" ",
-                  slice(col("fw"), j - (window - 1), lit(window)))), 1, 1)
-                  < boundaryHexLt.toString, 1)
-              .otherwise(0).as("b")))))
-      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col.tok").as("tok"), col("col.b").as("b"))
-    val wd = Window.partitionBy("id").orderBy("pos")
-    toks
-      // boundary AFTER token j: j's flag starts the NEXT chunk, so the
-      // running sum shifts by one position (lag semantics via sum - b)
-      .withColumn("span_idx", (sum(col("b")).over(wd) - col("b")).cast("long"))
-      .groupBy("id", "span_idx")
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("pos"), col("tok").as("t")))),
-          x => x.getField("t")), " ").as("span"))
-      .select(col("id"), col("span_idx"), col("span"))
+        posexplode(transform(sequence(lit(0), size(col("bps"))), i => {
+          val start = when(i === 0, lit(1))
+            .otherwise(element_at(col("bps"), i) + 1)
+          val end = when(i < size(col("bps")), element_at(col("bps"), i + 1))
+            .otherwise(size(fw))
+          concat_ws(" ", slice(fw, start, end - start + 1))
+        })))
+      .select(col("id"), col("pos").cast("long").as("span_idx"),
+        col("col").as("span"))
   }
 
   /** Span-level exact dedup over a (id, span_idx, span) frame.
@@ -141,9 +150,18 @@ object Spans {
     * by an (id, span_idx) join, then reassembly is a per-document
     * aggregation — bounded by document size. */
   def removeDups(spans: DataFrame, joinWith: String = " "): DataFrame = {
+    // surviving span indexes grouped per doc BEFORE the reattach, so the
+    // join and the final reassembly are both keyed on id alone: span TEXT
+    // crosses ONE exchange (the id-keyed join) and the groupBy(id) reuses
+    // that partitioning — the (id, span_idx)-keyed join shuffled the text
+    // a second time because hashpartitioning(id, span_idx) does not
+    // satisfy the groupBy(id) distribution (guide §2.4 "two operations
+    // keyed the same way can share one exchange"). The per-doc index set
+    // is bounded by document size, like every reassembly here.
     val verdicts = dedup(spans).filter(!col("is_dup"))
-      .select("id", "span_idx")
-    spans.join(verdicts, Seq("id", "span_idx"))
+      .groupBy("id").agg(collect_set(col("span_idx")).as("__keep_idx"))
+    spans.join(verdicts, Seq("id"))
+      .filter(array_contains(col("__keep_idx"), col("span_idx")))
       .groupBy("id")
       .agg(array_join(
         transform(
@@ -174,9 +192,11 @@ object Spans {
       .agg(count_distinct(col("id")).as("df"))
       .filter(col("df") >= minDf)
       .select("span_hash")
+    // same id-keyed reattach as removeDups: text crosses one exchange
     val keptIdx = hashed.join(boiler, Seq("span_hash"), "left_anti")
-      .select("id", "span_idx")
-    spans.join(keptIdx, Seq("id", "span_idx"))
+      .groupBy("id").agg(collect_set(col("span_idx")).as("__keep_idx"))
+    spans.join(keptIdx, Seq("id"))
+      .filter(array_contains(col("__keep_idx"), col("span_idx")))
       .groupBy("id")
       .agg(array_join(
         transform(

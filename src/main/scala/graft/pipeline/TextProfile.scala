@@ -618,42 +618,55 @@ object TextProfile {
     * bit-identically. */
   def lmSelfScore(docs: DataFrame, idCol: String, textCol: String,
                   k: Double = 0.5): DataFrame = {
-    def triArr(t: Column): Column =
-      when(length(t) >= 3,
-        transform(sequence(lit(1), length(t) - 2),
-          i => t.substr(i, lit(3))))
-        .otherwise(array().cast("array<string>"))
-    // exact trigram / prefix-context counts from the train split only.
-    // The model is alphabet-bounded (≤ |Σ|³ rows) BY DESIGN, so collect it
-    // once and derive c2 / V from the collected table as local relations:
-    // the old shape planned the train-split explode into three separate
-    // subtrees (c3 broadcast build, c2 broadcast build, the V scalar) and
-    // paid the corpus pass each time; now the corpus is scanned exactly
-    // once for training and once for scoring. c2 and V are computed with
-    // the SAME Spark expressions over the local c3 table (exact integer
-    // sums — order-independent), so results are bit-identical.
+    // Trigrams travel as PACKED CODE-POINT LONGS (graft.functions
+    // TrigramCodes: cp1·2⁴² | cp2·2²¹ | cp3 — bijective, so code equality
+    // IS trigram equality): the corpus-sized explode emits one long per
+    // occurrence instead of a 3-char string, the prefix context is
+    // `shiftright(g, 21)` instead of a substring, and every join keys on
+    // longs. The model is alphabet-bounded (≤ |Σ|³ rows) BY DESIGN, so it
+    // is collected once and c2 / V / the per-trigram log-probs derive
+    // from the collected table as LOCAL relations — the round-5 shape
+    // re-exploded the train split for each of the three model subtrees,
+    // and computed log((c3+k)/(c2+kV)) + round + decimal conversion PER
+    // OCCURRENCE (~12M times at sf0.1); now the scoring pass only
+    // hash-probes two broadcast lookup tables and coalesces. Every lp
+    // value is computed by the SAME Spark expression shapes as before
+    // (over the local tables), so scores are bit-identical.
     val spark = docs.sparkSession
     import spark.implicits._
+    val codes = graft.functions.TrigramCodes
     val train = hashSplit(docs, idCol).filter(col("split") === "train")
-    val c3Rows = train.select(explode(triArr(col(textCol))).as("g"))
+    val c3Rows = train.select(explode(codes.col(col(textCol))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c3"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val c3 = c3Rows.toSeq.toDF("g", "c3")
-    val c2 = c3.groupBy(substring(col("g"), 1, 2).as("pre"))
+    val c2 = c3.groupBy(shiftright(col("g"), 21).as("pre"))
       .agg(sum("c3").as("c2"))
     val vRow = c3.agg(
-      count_distinct(substring(col("g"), 3, 1)).as("v")).collect()(0)
+      count_distinct(col("g").bitwiseAND(lit(0x1FFFFFL))).as("v")).collect()(0)
     val v = vRow.getLong(0) // one scalar: the next-char alphabet size
     require(v > 0, "lmSelfScore: empty train split — no trigrams to train on")
+    // per-trigram (lp3) and unseen-trigram-per-prefix (lp2) log-probs,
+    // precomputed over the tiny local model tables; the both-unseen
+    // fallback is one scalar computed by the same expression
+    val lp3 = c3.withColumn("pre", shiftright(col("g"), 21))
+      .join(c2, "pre")
+      .select(col("g"),
+        round(log((col("c3") + lit(k)) / (col("c2") + lit(k * v))), 6)
+          .cast("decimal(18,6)").as("lp3"))
+    val lp2 = c2.select(col("pre"),
+      round(log((lit(0L) + lit(k)) / (col("c2") + lit(k * v))), 6)
+        .cast("decimal(18,6)").as("lp2"))
+    val lpg = Seq(1).toDF("one").select(
+      round(log((lit(0L) + lit(k)) / (lit(0L) + lit(k * v))), 6)
+        .cast("decimal(18,6)").as("lp")).head.getDecimal(0)
     val occ = docs.select(col(idCol),
-        explode(triArr(col(textCol))).as("g"))
-      .join(broadcast(c3), Seq("g"), "left")
-      .join(broadcast(c2.withColumnRenamed("pre", "g2")),
-        substring(col("g"), 1, 2) === col("g2"), "left")
+        explode(codes.col(col(textCol))).as("g"))
+      .join(broadcast(lp3), Seq("g"), "left")
+      .join(broadcast(lp2), shiftright(col("g"), 21) === col("pre"), "left")
       .select(col(idCol),
-        round(log((coalesce(col("c3"), lit(0L)) + lit(k)) /
-          (coalesce(col("c2"), lit(0L)) + lit(k * v))), 6)
-          .cast("decimal(18,6)").as("lp"))
+        coalesce(col("lp3"), col("lp2"),
+          lit(lpg).cast("decimal(18,6)")).as("lp"))
     occ.groupBy(idCol).agg(
       count(lit(1)).as("n_tri"),
       round(-sum(col("lp")).cast("double") / count(lit(1)), 6).as("nll"))

@@ -181,7 +181,15 @@ object StreamingFilter {
 
   /** One micro-batch committed as one snapshot-table chunk, keyed by the
     * stream's monotonic `batchId` — the idempotence kernel of
-    * [[sinkToSnapshotTable]], exposed for direct testing. Exactly-once
+    * [[sinkToSnapshotTable]], exposed for direct testing.
+    *
+    * SINGLE WRITER PER TABLE, required: the per-batch
+    * `SnapshotTable.open` sweeps uncommitted chunk dirs and unreferenced
+    * .delete-* dirs, so a CONCURRENT writer on the same table (a batch
+    * job, a second stream, or an in-flight `stageDelete` between its
+    * parquet write and its commit) would have its uncommitted files
+    * deleted by this sink's sweep. One table = one writer at a time; the
+    * metadata log carries no lock. Exactly-once
     * table content falls out of two existing invariants: a REPLAYED batch
     * (same batchId after a crash) finds its chunk already committed and
     * does nothing, and a partially-written uncommitted chunk is swept by

@@ -345,7 +345,19 @@ object SnapshotTable {
     * time-travel read pinned before the delete still sees the rows.
     * Physical reclamation is [[purgeDeletes]]. A crash between the parquet
     * write and the snapshot commit leaves an orphan dir that the next
-    * [[open]] sweeps. */
+    * [[open]] sweeps.
+    *
+    * TOMBSTONE-UNTIL-PURGE semantics, deliberately: a staged delete file
+    * carries forward to every later snapshot and [[readAligned]] applies
+    * every visible file to the WHOLE read — so a row re-ingested after a
+    * takedown under a previously-deleted key stays invisible until
+    * [[purgeDeletes]] rewrites the data and drops the tombstones. This is
+    * stricter than Iceberg's sequence-number-scoped equality deletes
+    * (which only mask files older than the delete) and is the intended
+    * behavior for the takedown/GDPR use case this surface serves: a
+    * removed key stays removed until the operator physically purges and
+    * re-admits it. Run purgeDeletes before re-ingesting content that is
+    * MEANT to come back. */
   def stageDelete(spark: org.apache.spark.sql.SparkSession, table: String,
                   keyCol: String,
                   keys: org.apache.spark.sql.DataFrame): Snapshot = {

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AdcDist, NearestCentroid, TrigramCodes}
+
+/** The round-6 native expressions must be BIT-IDENTICAL to the HOF / string
+  * formulations they replaced — each law here evaluates both the new
+  * expression and the original Catalyst formulation on the same rows and
+  * demands exact equality (the oracle already pins end-to-end outputs;
+  * these pin the substitution itself, including tie-breaks and summation
+  * order). */
+class NativeExprOptSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("TrigramCodes ≡ the substr trigram explode (incl. short and unicode)") {
+    val df = Seq("hello world", "ab", "", "ααβγδ", "aßc∂e", "xyz")
+      .toDF("t")
+    // original string formulation
+    val triArr = when(length(col("t")) >= 3,
+      transform(sequence(lit(1), length(col("t")) - 2),
+        i => col("t").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val viaStrings = df.select(col("t"), triArr.as("gs")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaCodes = df.select(col("t"), TrigramCodes.col(col("t")).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for ((t, gs) <- viaStrings) {
+      val cs = viaCodes(t)
+      assert(cs.length == gs.length, s"count mismatch for '$t'")
+      // codes must decode back to exactly the string trigrams (bijective
+      // 21-bit code-point packing)
+      val decoded = cs.map { c =>
+        new String(Array(((c >> 42) & 0x1FFFFF).toInt,
+          ((c >> 21) & 0x1FFFFF).toInt, (c & 0x1FFFFF).toInt), 0, 3)
+      }
+      assert(decoded == gs, s"decode mismatch for '$t': $decoded vs $gs")
+      // and distinct trigrams ⇔ distinct codes
+      assert(cs.distinct.length == gs.distinct.length)
+    }
+  }
+
+  test("NearestCentroid ≡ the array_min(struct) HOF argmin, ties → smaller id") {
+    val cents = Array(
+      Array(0.0, 0.0, 0.0),
+      Array(1.0, 1.0, 1.0),
+      Array(1.0, 1.0, 1.0), // exact duplicate of 1: tie must pick 1
+      Array(-2.0, 0.5, 3.25))
+    val vecs = Seq(
+      Seq(0.1, -0.1, 0.05),
+      Seq(1.0, 1.0, 1.0),   // exactly on the duplicated centroid pair
+      Seq(0.5, 0.5, 0.5),   // equidistant from 0 and 1/2
+      Seq(-1.9, 0.4, 3.0),
+      Seq(100.0, -100.0, 3.0))
+    val df = vecs.toDF("v").select(col("v").cast("array<double>").as("v"))
+    val hof = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        val d2 = aggregate(
+          zip_with(col("v"), typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(d2, lit(i)).cast("struct<d:double,cid:int>")
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("cid")
+    }
+    val rows = df.select(hof.as("old"),
+      NearestCentroid.col(col("v"), cents).as("nu")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"argmin mismatch: hof=${r.getInt(0)} native=${r.getInt(1)}"))
+  }
+
+  test("AdcDist ≡ the per-subspace HOF reduce, same summation order") {
+    val books: Array[Array[Array[Double]]] = Array.tabulate(2, 3, 2) {
+      (s, c, d) => s * 10.0 + c * 0.7 - d * 1.3
+    }
+    val m = 2; val w = 2
+    val df = Seq(
+      (Seq(0.5, -1.0, 9.7, 10.1), Seq(0, 2)),
+      (Seq(3.3, 3.3, 3.3, 3.3), Seq(1, 1)),
+      (Seq(-7.0, 0.0, 12.0, -0.25), Seq(2, 0))
+    ).toDF("qv", "codes")
+      .select(col("qv").cast("array<double>").as("qv"), col("codes"))
+    val hof = (0 until m).map { s =>
+      val qs = slice(col("qv"), s * w + 1, w)
+      val cv = element_at(
+        typedlit(books(s).map(_.toSeq).toSeq), col("codes").getItem(s) + 1)
+      aggregate(zip_with(qs, cv, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val rows = df.select(hof.as("old"),
+      AdcDist.col(col("qv"), col("codes"), books).as("nu")).collect()
+    rows.foreach { r =>
+      // EXACT double equality — the kernel must preserve FP association
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"dist mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("xxhash64 window hashing finds exactly the md5-window dup starts") {
+    // the ExactSubstr rewrite changed the hash, not the dup classes: the
+    // mask over a corpus with known duplication must match the md5-based
+    // expectation (also covered end-to-end in ExactSubstrSpec)
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e f")  // shares the 4-window "c d e f" (pos 3 in both)
+    ).toDF("doc_id", "text")
+    val m = graft.pipeline.ExactSubstr.mask(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m(1L) == "000000")
+    assert(m(2L) == "001111", s"got ${m(2L)}")
+  }
+}
