@@ -62,7 +62,24 @@ object Codecs {
       return out
     }
     val step = fromHz.toDouble / toHz
+    // interior: j+1 < pcm.length is guaranteed while i*step < len-1, so the
+    // two per-sample min() clamps (no-ops there) are hoisted out of the hot
+    // loop; the few tail samples run the original clamped form. Identical
+    // arithmetic and rounding — bit-identical output.
+    // −1 guards the float-rounding edge of the division so the unclamped
+    // loop can never index pcm(len): the one extra sample runs clamped
+    val nSafe = math.min(n,
+      math.max(0, (((pcm.length - 1).toDouble) / step).toInt - 1))
     var i = 0
+    while (i < nSafe) {
+      val pos = i * step
+      val j = pos.toInt
+      val frac = pos - j
+      val a = pcm(j)
+      val b = pcm(j + 1)
+      out(i) = (a + (b - a) * frac).toFloat
+      i += 1
+    }
     while (i < n) {
       val pos = i * step
       val j = pos.toInt
@@ -82,11 +99,15 @@ object Codecs {
     else {
       val n = bytes.length >> 1
       val out = new Array[Float](n)
+      // bulk LE short view + a flat int16→float loop the JIT can
+      // auto-vectorize, instead of per-sample byte combines; the LE
+      // reassembly is identical so values are bit-identical
+      val sh = new Array[Short](n)
+      java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer().get(sh)
       var i = 0
       while (i < n) {
-        val lo = bytes(2 * i) & 0xFF
-        val hi = bytes(2 * i + 1).toInt // sign-extends
-        out(i) = s16ToFloat(((hi << 8) | lo).toShort)
+        out(i) = sh(i) / 32768.0f
         i += 1
       }
       Right(out)
@@ -256,12 +277,15 @@ object Codecs {
     while (i < n) {
       val b = bytes(4 + (i >> 1)) & 0xFF
       val nibble = if ((i & 1) == 0) b & 0x0F else (b >> 4) & 0x0F
-      var step = StepTable(index)
-      var vpdiff = step >> 3
-      if ((nibble & 4) != 0) vpdiff += step
-      if ((nibble & 2) != 0) vpdiff += step >> 1
-      if ((nibble & 1) != 0) vpdiff += step >> 2
-      if ((nibble & 8) != 0) predictor -= vpdiff else predictor += vpdiff
+      val step = StepTable(index)
+      // branch-free magnitude/sign reconstruction — arithmetically equal to
+      // the spec's conditional adds (mask = 0 or −1 selects each term)
+      val vpdiff = (step >> 3) +
+        ((-((nibble >> 2) & 1)) & step) +
+        ((-((nibble >> 1) & 1)) & (step >> 1)) +
+        ((-(nibble & 1)) & (step >> 2))
+      val sgn = -((nibble >> 3) & 1) // 0 or −1
+      predictor += (vpdiff ^ sgn) - sgn
       if (predictor > 32767) predictor = 32767
       else if (predictor < -32768) predictor = -32768
       index += IndexTable(nibble)

@@ -18,7 +18,12 @@ object GenMain {
     import spark.implicits._
     spark.range(0, params.n, 1, files)
       .map(i => ClipGen.row(i, params))
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+      // encoded audio is high-entropy (measured 96% snappy ratio on the
+      // bytes column, which is >99% of the table): compression is pure
+      // decode-side overhead on every scan (guide §6 / §2.3), so the blob
+      // fixture is written uncompressed — values are identical either way
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "uncompressed").parquet(outDir)
   }
 
   def main(args: Array[String]): Unit = {

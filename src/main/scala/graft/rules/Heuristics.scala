@@ -187,12 +187,28 @@ object Heuristics {
     if (n < segs) return 0L
     val e = new Array[Double](segs)
     var crossings = 0L
+    // segment-outer iteration: sample i belongs to seg floor(i·segs/n), so
+    // seg s spans [ceil(s·n/segs), ceil((s+1)·n/segs)) — identical
+    // assignment to the former per-sample (i·segs)/n divide, without a
+    // 20-cycle integer division per sample (this division was ~60% of the
+    // fingerprint's cost, FeatProbe). Energy accumulates in the same order;
+    // crossing count compares the same neighbors: bit-identical.
+    var s = 0
     var i = 0
-    while (i < n) {
-      val s = ((i.toLong * segs) / n).toInt
-      e(s) += pcm(i).toDouble * pcm(i)
-      if (i > 0 && (pcm(i) > 0f) != (pcm(i - 1) > 0f)) crossings += 1
-      i += 1
+    var prevPos = pcm(0) > 0f
+    while (s < segs) {
+      val segEnd = (((s + 1).toLong * n + segs - 1) / segs).toInt
+      var es = e(s)
+      while (i < segEnd) {
+        val x = pcm(i)
+        es += x.toDouble * x
+        val pos = x > 0f
+        if (i > 0 && pos != prevPos) crossings += 1
+        prevPos = pos
+        i += 1
+      }
+      e(s) = es
+      s += 1
     }
     var fp = 0L
     var b = 0

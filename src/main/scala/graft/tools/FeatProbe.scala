@@ -56,6 +56,23 @@ object FeatProbe {
         Heuristics.audioFeatures(p, r.sr_hz, Presets.default.copy(referenceHz = 0), trim = false)
       }
     }
+    // fine-grained kernel breakdown on the 8 kHz reference grid
+    val cfg8 = Presets.default
+    val resampled = decoded.map { case (r, p) =>
+      if (cfg8.referenceHz > 0 && r.sr_hz != cfg8.referenceHz)
+        (r, Codecs.resampleLinear(p, r.sr_hz, cfg8.referenceHz), cfg8.referenceHz)
+      else (r, p, r.sr_hz)
+    }
+    timed("  hum FFT only (spectralHumFrac)") {
+      var acc = 0.0
+      resampled.foreach { case (_, p, hz) =>
+        acc += Heuristics.spectralHumFrac(p, 0, p.length, hz)
+      }
+    }
+    timed("  audioFingerprint only") {
+      var acc = 0L
+      resampled.foreach { case (_, p, _) => acc ^= Heuristics.audioFingerprint(p) }
+    }
     timed("text: lid + scrub + 2 ppl") {
       rs.foreach { r =>
         val t = r.transcript
