@@ -31,8 +31,9 @@ object MinHash {
     val n = math.max(1, t.length - k + 1)
     var i = 0
     while (i < n) {
+      // windowed fnv: no per-shingle substring allocation
       val base = TextSim.mix64(
-        TextSim.fnv64(t.subSequence(i, math.min(i + k, t.length))))
+        TextSim.fnv64(t, i, math.min(i + k, t.length)))
       var j = 0
       while (j < numHashes) {
         val h = TextSim.mix64(base ^ seeds(j))

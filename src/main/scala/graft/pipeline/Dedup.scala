@@ -214,11 +214,15 @@ object Dedup {
         others :+ explode(probeKeys(col("key"), width, bits)).as("key"): _*)
     }
 
-  /** Character k-shingles of a text column (distinct per doc). */
+  /** Character k-shingles of a text column (distinct per doc). Native
+    * codegen'd expression — the former
+    * `array_distinct(transform(sequence(...), substring))` chain is
+    * CodegenFallback (interpreted per row) and was the dominant CPU of
+    * every verify-tier attach join; CharShingles produces the identical
+    * first-occurrence-distinct array in one pass (equivalence law in
+    * NativeExprOptSpec). */
   def shingles(textCol: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(textCol) - k, lit(0))),
-      i => substring(textCol, lit(1) + i, lit(k))))
+    graft.functions.CharShingles.col(textCol, k)
 
   /** LSH band keys from a MinHash signature: `numHashes / rowsPerBand`
     * (band, band_hash) structs per row. */

@@ -32,7 +32,7 @@ object TextProfile {
     // dedup runs inside the scan stage on a document-sized array (guide
     // §2.3 "aggregate before you shuffle"). Result identical: distinct
     // docs per gram either way.
-    docs.select(explode(array_distinct(ngrams(col(textCol), n))).as("gram"))
+    docs.select(explode(ngramsDistinct(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
   }
@@ -40,12 +40,16 @@ object TextProfile {
   /** Word n-gram array of a text column (occurrence order, duplicates
     * kept): the shared gram builder of `ngramDocFreq`, `repetitionScore`
     * and the contamination probe. */
-  def ngrams(textCol: Column, n: Int): Column = {
-    val ws = split(textCol, " ")
-    transform(
-      sequence(lit(0), greatest(size(ws) - n, lit(0))),
-      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
-  }
+  def ngrams(textCol: Column, n: Int): Column =
+    // native codegen'd expression — the transform/sequence/slice/concat_ws
+    // chain is CodegenFallback (interpreted per row); WordNgrams emits the
+    // identical array in one pass (equivalence law in NativeExprOptSpec)
+    graft.functions.WordNgrams.col(textCol, n)
+
+  /** `array_distinct(ngrams(...))` fused into the same native pass —
+    * first-occurrence order, identical to the two-step form. */
+  def ngramsDistinct(textCol: Column, n: Int): Column =
+    graft.functions.WordNgrams.col(textCol, n, distinct = true)
 
   /** Intra-document repetition score (the Gopher-rule family): the
     * fraction of word n-gram OCCURRENCES that are repeats of an n-gram
@@ -55,7 +59,7 @@ object TextProfile {
   def repetitionScore(textCol: Column, n: Int = 3): Column = {
     require(n >= 1, s"ngram size $n")
     val grams = ngrams(textCol, n)
-    round((size(grams) - size(array_distinct(grams))).cast("double") /
+    round((size(grams) - size(ngramsDistinct(textCol, n))).cast("double") /
       size(grams), 6)
   }
 
@@ -87,14 +91,14 @@ object TextProfile {
     // narrow expression — size(array_distinct), no explode/shuffle) and
     // the hit join; the old shape exploded the whole corpus three times
     val trainDf = sp.filter(col("split") === "train")
-      .select(explode(array_distinct(ngrams(col("text"), n))).as("gram"))
+      .select(explode(ngramsDistinct(col("text"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("train_df"))
       .filter(col("train_df") >= minDf)
     val test = sp.filter(col("split") === "test")
     val testGrams = test.select(col("id"),
-      explode(array_distinct(ngrams(col("text"), n))).as("gram"))
+      explode(ngramsDistinct(col("text"), n)).as("gram"))
     val nGrams = test.select(col("id"),
-      size(array_distinct(ngrams(col("text"), n))).cast("long").as("n_grams"))
+      size(ngramsDistinct(col("text"), n)).cast("long").as("n_grams"))
     val hits = testGrams.join(trainDf, "gram")
     val w = Window.partitionBy("id")
       .orderBy(col("train_df").desc, col("gram"))

