@@ -174,7 +174,16 @@ object Dedup {
     if (cap <= 0) rows
     else {
       // ANTI-join against the hot-key list, not a semi-join against the
-      // cool keys: the hot side is the small one
+      // cool keys: the hot side is the small one.
+      // (Round 6 measured alternative, rejected: repartitioning by the
+      // bucket keys here so the row-generation subtree sits below one
+      // shared exchange removes the plan-tree duplication the static
+      // broadcast planner creates at bench scale — but it regressed the
+      // gram-join family 4x (containment 2.4 s -> 9.8 s at sf0.1): the
+      // extra exchange/stage rounds cost more than the now-cheap
+      // (nativized) duplicated subtrees, and at 100 TB the planner never
+      // broadcasts corpus-sized band frames, so exchanges are shared
+      // naturally there.)
       val hot = hotBuckets(rows, keys, cap).select(keys.map(col): _*)
       rows.join(if (broadcastHot) broadcast(hot) else hot, keys, "left_anti")
     }
@@ -227,11 +236,11 @@ object Dedup {
   /** LSH band keys from a MinHash signature: `numHashes / rowsPerBand`
     * (band, band_hash) structs per row. */
   def minhashBandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
-      b => struct(b.cast("int").as("band"),
-        xxhash64(array_join(
-          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")), ",")).as("band_hash")))
+    // native codegen'd kernel — the transform/slice/array_join/cast HOF
+    // tree is CodegenFallback (interpreted per row, one string allocation
+    // per signature element) and was the single hottest pipeline of the
+    // LSH family; band hashes are bit-identical (NativeExprOptSpec law)
+    graft.functions.MinHashBandKeys.col(sig, numHashes, rowsPerBand)
 
   /** LSH candidate pairs (id_a < id_b) from shared band buckets. The join
     * is bucket-local: keyed on (band, band_hash), so only colliding docs

@@ -44,12 +44,11 @@ object Spans {
   def wordChunks(docs: DataFrame, idCol: String, textCol: String,
                  chunkWords: Int = 10): DataFrame = {
     require(chunkWords >= 1, s"chunkWords $chunkWords")
-    val ws = org.apache.spark.sql.functions.split(col(textCol), " ")
-    val nChunks =
-      greatest(ceil(size(ws).cast("double") / chunkWords) - 1, lit(0))
+    // native codegen'd chunk builder — the transform/sequence/slice/
+    // concat_ws chain is CodegenFallback (interpreted per row); identical
+    // array (equivalence law in NativeExprOptSpec)
     docs.select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), nChunks.cast("int")),
-          j => concat_ws(" ", slice(ws, j * chunkWords + 1, lit(chunkWords))))))
+        posexplode(graft.functions.WordChunkArr.col(col(textCol), chunkWords)))
       .select(col("id"), col("pos").cast("long").as("span_idx"),
         trim(col("col")).as("span"))
       .filter(length(col("span")) > 0)
@@ -86,30 +85,16 @@ object Spans {
     // never needed to leave its row (guide §2.4 "remove shuffles
     // outright"). Output is identical: boundary condition, chunk ids and
     // reassembled spans are the same per-token values.
-    val ws = org.apache.spark.sql.functions.filter(
-      org.apache.spark.sql.functions.split(col(textCol), " "),
-      w => w =!= lit(""))
-    val fw = col("fw")
-    // boundary AFTER token j starts the next chunk; a boundary after the
-    // LAST token starts nothing (no token carries that chunk id), so only
-    // j ≤ |fw|−1 qualifies. (For |fw| ≤ 1 the sequence degenerates to
-    // descending junk ≤ 1, all filtered by j ≥ window ≥ 2.)
-    val bps = org.apache.spark.sql.functions.filter(
-      sequence(lit(1), size(fw) - 1), j =>
-        j >= window &&
-          substring(md5(concat_ws(" ",
-            slice(fw, j - (window - 1), lit(window)))), 1, 1)
-            < boundaryHexLt.toString)
-    docs.select(col(idCol).as("id"), ws.as("fw"))
-      .select(col("id"), fw, bps.as("bps"))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), size(col("bps"))), i => {
-          val start = when(i === 0, lit(1))
-            .otherwise(element_at(col("bps"), i) + 1)
-          val end = when(i < size(col("bps")), element_at(col("bps"), i + 1))
-            .otherwise(size(fw))
-          concat_ws(" ", slice(fw, start, end - start + 1))
-        })))
+    // native codegen'd kernel (CdcChunkArr) — the former filter/sequence/
+    // md5/slice/concat_ws HOF chain is CodegenFallback (interpreted per
+    // row, one interpreted md5 per token); identical chunk array
+    // (equivalence law in NativeExprOptSpec): boundary after token j
+    // (window ≤ j ≤ |fw|−1) iff the first md5 hex char of the window
+    // ending at j is < boundaryHexLt, chunks = token ranges between
+    // boundaries, degenerate inputs → [""].
+    docs.select(col(idCol).as("id"),
+        posexplode(graft.functions.CdcChunkArr.col(col(textCol), window,
+          boundaryHexLt)))
       .select(col("id"), col("pos").cast("long").as("span_idx"),
         col("col").as("span"))
   }

@@ -143,6 +143,75 @@ class NativeExprOptSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashBandKeys ≡ the xxhash64(array_join(cast)) HOF banding") {
+    val df = Seq("the quick brown fox", "a a a", "", "αβγδε ζη").toDF("t")
+    for ((nh, r) <- Seq((80, 5), (16, 4))) {
+      val sig = graft.functions.MinHashSig.col(col("t"), 5, nh)
+      val old = transform(sequence(lit(0), lit(nh / r - 1)),
+        b => struct(b.cast("int").as("band"),
+          xxhash64(array_join(
+            transform(slice(sig, b * r + 1, lit(r)),
+              x => x.cast("string")), ",")).as("band_hash")))
+      val rows = df.select(old.as("o"),
+        graft.pipeline.Dedup.minhashBandKeys(sig, nh, r).as("n")).collect()
+      rows.foreach { row =>
+        val o = row.getSeq[org.apache.spark.sql.Row](0)
+        val n = row.getSeq[org.apache.spark.sql.Row](1)
+        assert(o == n, s"band keys mismatch nh=$nh r=$r: $o vs $n")
+      }
+    }
+  }
+
+  test("WordChunkArr ≡ the wordChunks transform chain") {
+    for (c <- Seq(1, 3, 10)) {
+      val df = gramTexts.toDF("t")
+      val ws = split(col("t"), " ")
+      val nChunks = greatest(ceil(size(ws).cast("double") / c) - 1, lit(0))
+      val old = transform(sequence(lit(0), nChunks.cast("int")),
+        j => concat_ws(" ", slice(ws, j * c + 1, lit(c))))
+      val rows = df.select(old.as("o"),
+        graft.functions.WordChunkArr.col(col("t"), c).as("n")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"c=$c chunk mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("CdcChunkArr ≡ the cdcChunks boundary/assembly chain") {
+    val texts = gramTexts ++ Seq(
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16",
+      (1 to 60).map(i => s"tok$i").mkString(" "))
+    for ((window, hexLt) <- Seq((4, '4'), (2, '8'), (3, 'c'))) {
+      val df = texts.toDF("t")
+      val ws0 = org.apache.spark.sql.functions.filter(
+        split(col("t"), " "), w => w =!= lit(""))
+      val fw = col("fw")
+      val bps = org.apache.spark.sql.functions.filter(
+        sequence(lit(1), size(fw) - 1), j =>
+          j >= window &&
+            substring(md5(concat_ws(" ",
+              slice(fw, j - (window - 1), lit(window)))), 1, 1)
+              < hexLt.toString)
+      val old = df.select(col("t"), ws0.as("fw"))
+        .select(col("t"), fw, bps.as("bps"))
+        .select(col("t"),
+          transform(sequence(lit(0), size(col("bps"))), i => {
+            val start = when(i === 0, lit(1))
+              .otherwise(element_at(col("bps"), i) + 1)
+            val end = when(i < size(col("bps")), element_at(col("bps"), i + 1))
+              .otherwise(size(fw))
+            concat_ws(" ", slice(fw, start, end - start + 1))
+          }).as("o"))
+      val nu = df.select(col("t"),
+        graft.functions.CdcChunkArr.col(col("t"), window, hexLt).as("n"))
+      val om = old.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val nm = nu.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      for ((t, o) <- om)
+        assert(o == nm(t), s"window=$window hexLt=$hexLt mismatch for '$t': $o vs ${nm(t)}")
+    }
+  }
+
   test("TextSim fingerprint/simhash rewrites are value-stable") {
     // the regex-precompile + windowed-fnv + flat-sort rewrite of TextSim
     // must hash identically; spot-pin a few values against the published
