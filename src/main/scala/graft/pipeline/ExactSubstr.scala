@@ -51,8 +51,10 @@ object ExactSubstr {
     * 1-based index in the FILTERED token sequence (so ROWS frames and
     * window starts address the same coordinate system). */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // native token kernel (SpaceTokens ≡ filter(split(t," "), _ != ""),
+    // law in NativeExprOptSpec) — the filter/split HOF pair is interpreted
     docs.select(col(idCol).as("id"),
-        posexplode(filter(split(col(textCol), " "), w => w =!= lit(""))))
+        posexplode(graft.functions.SpaceTokens.col(col(textCol))))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("tok"))
 
@@ -73,12 +75,12 @@ object ExactSubstr {
   def windows(docs: DataFrame, idCol: String, textCol: String,
               k: Int): DataFrame = {
     require(k >= 2, s"window size $k must be >= 2")
-    val toks = filter(split(col(textCol), " "), w => w =!= lit(""))
-    docs.select(col(idCol).as("id"), toks.as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col("id"),
-        posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
-          i => xxhash64(slice(col("ws"), i, lit(k))))))
+    // native fused kernel: tokens + per-window seeded-chain xxhash64 in
+    // one pass (WindowHashes ≡ transform(sequence, xxhash64(slice)), law
+    // in NativeExprOptSpec); docs with < k tokens produce an empty array,
+    // which posexplode drops — the same rows as the former size() guard
+    docs.select(col(idCol).as("id"),
+        posexplode(graft.functions.WindowHashes.col(col(textCol), k)))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("win_hash"))
   }
@@ -133,11 +135,9 @@ object ExactSubstr {
     cov.groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("covered").cast("long")).as("n_removed"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"),
-              col("covered").cast("string").as("f")))),
-            s => s.getField("f")), "").as("mask"))
+        graft.functions.JoinSortedStructs.col(
+          collect_list(struct(col("pos"),
+            col("covered").cast("string").as("f"))), "").as("mask"))
 
   /** The cleaning transform: drop covered tokens, reassemble each
     * document from survivors in order. Documents whose every token was
@@ -193,8 +193,7 @@ object ExactSubstr {
   def cleanFromCoverage(cov: DataFrame): DataFrame =
     cov.filter(col("covered") === 0)
       .groupBy("id")
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("pos"), col("tok").as("t")))),
-          x => x.getField("t")), " ").as("cleaned_text"))
+      .agg(graft.functions.JoinSortedStructs.col(
+        collect_list(struct(col("pos"), col("tok").as("t"))), " ")
+        .as("cleaned_text"))
 }

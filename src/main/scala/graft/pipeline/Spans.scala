@@ -148,10 +148,9 @@ object Spans {
     spans.join(verdicts, Seq("id"))
       .filter(array_contains(col("__keep_idx"), col("span_idx")))
       .groupBy("id")
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("span_idx"), col("span").as("s")))),
-          x => x.getField("s")), joinWith).as("cleaned_text"))
+      .agg(graft.functions.JoinSortedStructs.col(
+        collect_list(struct(col("span_idx"), col("span").as("s"))), joinWith)
+        .as("cleaned_text"))
   }
 
   /** CCNet/Dolma-style boilerplate removal: spans occurring in ≥ `minDf`
@@ -183,10 +182,9 @@ object Spans {
     spans.join(keptIdx, Seq("id"))
       .filter(array_contains(col("__keep_idx"), col("span_idx")))
       .groupBy("id")
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("span_idx"), col("span").as("s")))),
-          x => x.getField("s")), joinWith).as("cleaned_text"))
+      .agg(graft.functions.JoinSortedStructs.col(
+        collect_list(struct(col("span_idx"), col("span").as("s"))), joinWith)
+        .as("cleaned_text"))
   }
 
   /** Per-document duplicate-span mask from `dedup` output — the reference's
@@ -196,9 +194,8 @@ object Spans {
     deduped.groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("span_idx"),
-              when(col("is_dup"), "1").otherwise("0").as("f")))),
-            s => s.getField("f")), "").as("dup_mask"))
+        graft.functions.JoinSortedStructs.col(
+          collect_list(struct(col("span_idx"),
+            when(col("is_dup"), "1").otherwise("0").as("f"))), "")
+          .as("dup_mask"))
 }

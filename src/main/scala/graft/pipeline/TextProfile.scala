@@ -203,17 +203,17 @@ object TextProfile {
     * second engine reproduces it to the rounded digit. */
   def pmiBigrams(docs: DataFrame, textCol: String,
                  minCount: Int = 5, topK: Int = 50): DataFrame = {
-    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-      w => w =!= lit(""))
+    // native AlnumTokens / ConsecutivePairs kernels — the filter/split and
+    // zip_with/slice HOF chains are interpreted per row (laws in
+    // NativeExprOptSpec)
+    val ws = graft.functions.AlnumTokens.col(col(textCol))
     val toks = docs.select(ws.as("ws"))
     val uni = toks.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     val total = uni.agg(sum("n_w")).collect()(0).getLong(0)
     val pairs = toks.filter(size(col("ws")) >= 2)
-      .select(explode(zip_with(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1),
-        (a, b) => struct(a, b).cast("struct<w1:string,w2:string>"))).as("p"))
+      .select(explode(
+        graft.functions.ConsecutivePairs.col(col("ws"), "w1", "w2")).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bcnt = pairs.groupBy("w1", "w2")
       .agg(count(lit(1)).as("n_ab"))
@@ -362,8 +362,7 @@ object TextProfile {
     * re-derives its merge state from. */
   private def wcToks(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
-      .filter(col("word") =!= "")
+      .select(explode(graft.functions.AlnumTokens.col(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("toks",
         concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
@@ -396,10 +395,8 @@ object TextProfile {
       val toksArr = split(trim(col("toks")), " ")
       val best = cur
         .filter(size(toksArr) >= 2)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(0), size(toksArr) - 2),
-          i => struct(element_at(toksArr, i + 1).as("lhs"),
-            element_at(toksArr, i + 2).as("rhs")))).as("p"))
+        .select(col("cnt"), explode(
+          graft.functions.ConsecutivePairs.col(toksArr, "lhs", "rhs")).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("cnt").as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
@@ -425,22 +422,14 @@ object TextProfile {
     * into the plan as literals. Same greedy left-to-right semantics as
     * training (leftmost-continue literal replace). */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
-    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-      w => w =!= "")
-    def tokCount(w: Column): Column = {
-      var toks: Column =
-        concat(lit(" "), array_join(split(w, ""), " "), lit(" "))
-      merges.foreach { case (l, r) =>
-        toks = replace(toks, lit(s" $l $r "), lit(s" $l$r "))
-      }
-      size(split(trim(toks), " ")).cast("long")
-    }
+                merges: Seq[(String, String)]): DataFrame =
+    // native BpeTokenCount kernel: the aggregate/transform wrapper around
+    // the per-word sentinel-replace chain was interpreted per row (law in
+    // NativeExprOptSpec); merge semantics (left-to-right literal replace,
+    // training order) are unchanged
     docs.select(col(idCol),
       length(col(textCol)).cast("long").as("n_chars_enc"),
-      aggregate(transform(words, w => tokCount(w)), lit(0L),
-        (acc, x) => acc + x).as("n_tokens"))
-  }
+      graft.functions.BpeTokenCount.col(col(textCol), merges).as("n_tokens"))
 
   /** Temperature-scaled source mixing — the multilingual/multi-source
     * sampling recipe (Xue et al. 2021 mT5 §3.1; The Pile's per-set epoch

@@ -212,6 +212,96 @@ class NativeExprOptSpec extends AnyFunSuite {
     }
   }
 
+  test("SpaceTokens / AlnumTokens ≡ the filter(split) chains") {
+    val df = gramTexts.toDF("t")
+    val oldSpace = org.apache.spark.sql.functions.filter(
+      split(col("t"), " "), w => w =!= lit(""))
+    val oldAlnum = org.apache.spark.sql.functions.filter(
+      split(lower(col("t")), "[^a-z0-9]+"), w => w =!= lit(""))
+    val rows = df.select(oldSpace.as("os"),
+      graft.functions.SpaceTokens.col(col("t")).as("ns"),
+      oldAlnum.as("oa"),
+      graft.functions.AlnumTokens.col(col("t")).as("na")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "space tokens")
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"alnum tokens: ${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
+    }
+  }
+
+  test("WindowHashes ≡ transform(sequence, xxhash64(slice)) over tokens") {
+    val texts = gramTexts :+ (1 to 30).map(i => s"w$i").mkString(" ")
+    for (k <- Seq(2, 4, 8)) {
+      val df = texts.toDF("t")
+      val ws = org.apache.spark.sql.functions.filter(
+        split(col("t"), " "), w => w =!= lit(""))
+      val old = when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => xxhash64(slice(ws, i, lit(k)))))
+        .otherwise(array().cast("array<bigint>"))
+      val rows = df.select(old.as("o"),
+        graft.functions.WindowHashes.col(col("t"), k).as("n")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k window hashes: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
+  test("ConsecutivePairs ≡ zip_with(slice, slice, struct)") {
+    val df = gramTexts.toDF("t")
+    val ws = graft.functions.AlnumTokens.col(col("t"))
+    val old = when(size(ws) >= 2, zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val rows = df.select(old.as("o"),
+      graft.functions.ConsecutivePairs.col(ws, "w1", "w2").as("n")).collect()
+    rows.foreach { r =>
+      val o = r.getSeq[org.apache.spark.sql.Row](0)
+      val n = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(o == n, s"pairs: $o vs $n")
+    }
+  }
+
+  test("JoinSortedStructs ≡ array_join(transform(array_sort))") {
+    val df = Seq(
+      Seq((3L, "c"), (1L, "a"), (2L, "b")),
+      Seq((5L, "x")),
+      Seq.empty[(Long, String)]
+    ).toDF("arr")
+      .select(col("arr").cast("array<struct<p:bigint,s:string>>").as("arr"))
+    for (sep <- Seq(" ", "")) {
+      val old = array_join(
+        transform(array_sort(col("arr")), x => x.getField("s")), sep)
+      val rows = df.select(old.as("o"),
+        graft.functions.JoinSortedStructs.col(col("arr"), sep).as("n")).collect()
+      rows.foreach(r => assert(r.getString(0) == r.getString(1),
+        s"sep='$sep': '${r.getString(0)}' vs '${r.getString(1)}'"))
+    }
+  }
+
+  test("BpeTokenCount ≡ the aggregate(transform(replace-chain)) encode") {
+    val merges = Seq(("t", "h"), ("th", "e"), ("o", "n"), ("a", "n"))
+    val df = (gramTexts :+ "the then on and anthem the").toDF("t")
+    val words = org.apache.spark.sql.functions.filter(
+      split(lower(col("t")), "[^a-z0-9]+"), w => w =!= lit(""))
+    def tokCount(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      var toks: org.apache.spark.sql.Column =
+        concat(lit(" "), array_join(split(w, ""), " "), lit(" "))
+      merges.foreach { case (l, r) =>
+        toks = replace(toks, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      size(split(trim(toks), " ")).cast("long")
+    }
+    val old = aggregate(transform(words, w => tokCount(w)), lit(0L),
+      (acc, x) => acc + x)
+    val rows = df.select(old.as("o"),
+      graft.functions.BpeTokenCount.col(col("t"), merges).as("n")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"token count: ${r.getLong(0)} vs ${r.getLong(1)}"))
+  }
+
   test("TextSim fingerprint/simhash rewrites are value-stable") {
     // the regex-precompile + windowed-fnv + flat-sort rewrite of TextSim
     // must hash identically; spot-pin a few values against the published
