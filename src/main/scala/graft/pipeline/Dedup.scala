@@ -280,7 +280,14 @@ object Dedup {
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est",
         MatchCount.col(col("sig_a"), col("sig_b")).cast(DoubleType) / numHashes)
-      .filter(col("est") >= minEst)
+      // coalesce(cond, false) is filter-identical (a NULL condition already
+      // drops the row) but stops constraint inference: the bare predicate
+      // made the optimizer infer isnotnull(sig_a/sig_b) and push
+      // isnotnull(minhashsig(text)) into the SCAN filters of both attach
+      // frames — one extra full-corpus signature evaluation per side
+      // (measured ~10 executor-seconds per near-dup query at sf0.1). The
+      // same guard wraps every verify/estimate-tier filter in this file.
+      .filter(coalesce(col("est") >= minEst, lit(false)))
       .select("id_a", "id_b")
   }
 
@@ -316,7 +323,7 @@ object Dedup {
         col("n").as("n_b")), "id_b")
       .withColumn("est",
         MatchCount.col(col("sig_a"), col("sig_b")).cast(DoubleType) / numHashes)
-      .filter(col("est") >= jreq - lit(margin))
+      .filter(coalesce(col("est") >= jreq - lit(margin), lit(false)))
       .select("id_a", "id_b")
   }
 
@@ -356,7 +363,7 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) /
         (size(col("arr_a")) + size(col("arr_b")) - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
+      .filter(coalesce(col("jaccard") >= minJaccard, lit(false)))
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -456,7 +463,7 @@ object Dedup {
     a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .filter(coalesce(col("hamming") <= maxHamming, lit(false)))
       .distinct()
   }
 
@@ -522,9 +529,9 @@ object Dedup {
     val union = col("nf_a") + col("nf_b") - col("n_shared")
     val cands = a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "nf_a", "nf_b").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared &&
+      .filter(coalesce(col("n_shared") >= minShared &&
         col("n_shared").cast(DoubleType) / union >=
-          lit(minJaccard) - lit(4.5) * sqrt(lit(0.25) / union))
+          lit(minJaccard) - lit(4.5) * sqrt(lit(0.25) / union), lit(false)))
       .select("id_a", "id_b")
     // NO pruneToCands here, deliberately (measured): the candidate
     // generator above (gram self-join + aggregate) is the expensive half
@@ -562,9 +569,9 @@ object Dedup {
     val minFp = least(col("nf_a"), col("nf_b"))
     val cands = a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "nf_a", "nf_b").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared &&
+      .filter(coalesce(col("n_shared") >= minShared &&
         col("n_shared").cast(DoubleType) / minFp >=
-          lit(minContainment) - lit(4.5) * sqrt(lit(0.25) / minFp))
+          lit(minContainment) - lit(4.5) * sqrt(lit(0.25) / minFp), lit(false)))
       .select("id_a", "id_b")
     // MinHash estimate tier between the gram-count estimate and the
     // shingle-array verify — the one near-dup path that lacked it until
@@ -583,7 +590,7 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("containment", col("n_inter").cast(DoubleType) /
         least(size(col("arr_a")), size(col("arr_b"))))
-      .filter(col("containment") >= minContainment)
+      .filter(coalesce(col("containment") >= minContainment, lit(false)))
       .select("id_a", "id_b", "containment")
   }
 
@@ -861,7 +868,7 @@ object Dedup {
     val b = e.select(col("id").as("id_b"), col("v").as("v_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("sim", CosineSim.col(col("v_a"), col("v_b")))
-      .filter(col("sim") >= minSim)
+      .filter(coalesce(col("sim") >= minSim, lit(false)))
       .select("id_a", "id_b", "sim")
   }
 
@@ -914,7 +921,9 @@ object Dedup {
       .join(sk.select(col("id").as("id_a"), col("sk").as("sk_a")), "id_a")
       .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")), "id_b")
       .withColumn("ham", SketchHamming.col(col("sk_a"), col("sk_b")))
-      .filter(col("ham") <= maxHam)
+      // coalesce guard: see sigEstimateFilter — stops isnotnull(sketch)
+      // constraint pushdown into the attach-frame scans
+      .filter(coalesce(col("ham") <= maxHam, lit(false)))
       .select("id_a", "id_b")
   }
 
@@ -972,13 +981,15 @@ object Dedup {
         col("id").as("id_b"), col("sk").as("sk_b"))
     val cands = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .filter(SketchHamming.col(col("sk_a"), col("sk_b")) <= sketchMaxHam(minSim))
+      .filter(coalesce(
+        SketchHamming.col(col("sk_a"), col("sk_b")) <= sketchMaxHam(minSim),
+        lit(false)))
       .select("id_a", "id_b").distinct()
     cands
       .join(e.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(e.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("sim", CosineSim.col(col("v_a"), col("v_b")))
-      .filter(col("sim") >= minSim)
+      .filter(coalesce(col("sim") >= minSim, lit(false)))
       .select("id_a", "id_b", "sim")
   }
 
@@ -1135,7 +1146,7 @@ object Dedup {
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", CosineSim.col(col("v_a"), col("v_b")))
-      .filter(col("sim") >= minSim)
+      .filter(coalesce(col("sim") >= minSim, lit(false)))
       .select("cluster", "id_a", "id_b", "sim")
   }
 

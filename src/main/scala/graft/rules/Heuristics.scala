@@ -199,14 +199,18 @@ object Heuristics {
     while (s < segs) {
       val segEnd = (((s + 1).toLong * n + segs - 1) / segs).toInt
       var es = e(s)
+      var cr = 0
       while (i < segEnd) {
         val x = pcm(i)
         es += x.toDouble * x
         val pos = x > 0f
-        if (i > 0 && pos != prevPos) crossings += 1
+        // branch-free: pos != prevPos adds exactly 1 (i = 0 is excluded by
+        // prevPos being initialized to pcm(0)'s own sign)
+        cr += (if (pos != prevPos) 1 else 0)
         prevPos = pos
         i += 1
       }
+      crossings += cr
       e(s) = es
       s += 1
     }
@@ -415,12 +419,45 @@ object Heuristics {
     Array.tabulate(HumFrameLen)(i =>
       0.5 - 0.5 * math.cos(2.0 * math.Pi * i / HumFrameLen))
 
+  // Per-length twiddle tables for [[fft]]: for each stage len, the half=len/2
+  // complex factors e^{-2πik/len}, computed directly per k (MORE accurate
+  // than the former per-butterfly recurrence, which accumulated rounding
+  // across k) and reused across every frame/clip — the recurrence cost 4
+  // multiplies per butterfly on top of the butterfly itself. Keyed by n; in
+  // practice only the fixed analysis lengths (1024, fbank frames) occur.
+  private val twiddleCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Double], Array[Double])]()
+
+  private def twiddles(n: Int): (Array[Double], Array[Double]) =
+    twiddleCache.computeIfAbsent(n, { _ =>
+      // stage len's table occupies [len/2, len) (so total size n), index
+      // (len/2 + k) holds e^{-2πik/len}
+      val tr = new Array[Double](n)
+      val ti = new Array[Double](n)
+      var len = 2
+      while (len <= n) {
+        val half = len >> 1
+        var k = 0
+        while (k < half) {
+          val ang = -2.0 * math.Pi * k / len
+          tr(half + k) = math.cos(ang)
+          ti(half + k) = math.sin(ang)
+          k += 1
+        }
+        len <<= 1
+      }
+      (tr, ti)
+    })
+
   /** In-place iterative radix-2 complex FFT (length must be a power of 2).
     * Textbook Cooley-Tukey: bit-reversal permutation, then butterflies with
-    * per-stage recurrence twiddles. The independent test oracle never calls
+    * precomputed per-stage twiddle tables (exact per-index factors — at or
+    * below the former recurrence's rounding error, well inside the 1e-9
+    * engine-vs-DFT-oracle gate). The independent test oracle never calls
     * this — it verifies via direct DFT sums + Parseval instead. */
   private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length
+    val (twr, twi) = twiddles(n)
     var i = 1
     var j = 0
     while (i < n) {
@@ -435,25 +472,19 @@ object Heuristics {
     }
     var len = 2
     while (len <= n) {
-      val ang = -2.0 * math.Pi / len
-      val wr = math.cos(ang)
-      val wi = math.sin(ang)
       val half = len >> 1
       var s = 0
       while (s < n) {
-        var cr = 1.0
-        var ci = 0.0
         var k = 0
         while (k < half) {
+          val cr = twr(half + k)
+          val ci = twi(half + k)
           val ur = re(s + k); val ui = im(s + k)
           val xr = re(s + k + half); val xi = im(s + k + half)
           val vr = xr * cr - xi * ci
           val vi = xr * ci + xi * cr
           re(s + k) = ur + vr; im(s + k) = ui + vi
           re(s + k + half) = ur - vr; im(s + k + half) = ui - vi
-          val ncr = cr * wr - ci * wi
-          ci = cr * wi + ci * wr
-          cr = ncr
           k += 1
         }
         s += len
